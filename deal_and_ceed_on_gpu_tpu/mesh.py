@@ -1,0 +1,178 @@
+"""Structured brick meshes with lexicographic continuous Q_p DoF numbering.
+
+TPU-native replacement for the reference's L0 layer
+(``parallel::distributed::Triangulation`` + p4est + ``DoFHandler``/``FE_Q`` +
+``AffineConstraints``; call sites ``bp5/step-64.cu:310-358,660-663``):
+on a structured brick every map the GPU code stores as per-cell index tables
+(``local_to_global``, constraint masks) is pure index arithmetic, so the
+element<->global DoF relation is *computed*, never gathered from memory, and
+partitioning for SPMD is a block decomposition of the element grid.
+
+Conventions
+-----------
+- dim = 3 (2D/1D fall out of the same arithmetic but are not exercised yet).
+- Elements indexed by (ez, ey, ex), x fastest.
+- Global DoFs on the tensor grid of per-axis node lines; global id
+  ``g = ix + Nx*(iy + Ny*iz)`` with ``Nd = m_d*p + 1`` nodes per axis.
+- The whole boundary carries a zero-Dirichlet constraint (reference
+  ``bp5/step-64.cu:351-358``: ``interpolate_boundary_values`` on id 0).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+__all__ = ["BrickMesh"]
+
+
+@dataclasses.dataclass(frozen=True)
+class BrickMesh:
+    """A uniform axis-aligned hexahedral brick mesh.
+
+    Equivalent of ``GridGenerator::subdivided_hyper_rectangle`` +
+    ``refine_global`` (``bp5/step-64.cu:661-663``): ``n_elements[d]`` cells
+    along axis d covering ``[lower[d], upper[d]]``.
+    """
+
+    n_elements: tuple[int, int, int]  # (mx, my, mz)
+    lower: tuple[float, float, float] = (0.0, 0.0, 0.0)
+    upper: tuple[float, float, float] = (1.0, 1.0, 1.0)
+
+    @staticmethod
+    def subdivided_hyper_rectangle(
+        subdivisions: tuple[int, int, int],
+        lower=(0.0, 0.0, 0.0),
+        upper=None,
+    ) -> "BrickMesh":
+        if upper is None:
+            # reference BP5 convention: unit-size cells, domain [0, s_d]^d
+            upper = tuple(float(s) for s in subdivisions)
+        return BrickMesh(tuple(int(s) for s in subdivisions), tuple(lower), tuple(upper))
+
+    @staticmethod
+    def hyper_cube(left: float = 0.0, right: float = 1.0) -> "BrickMesh":
+        return BrickMesh((1, 1, 1), (left,) * 3, (right,) * 3)
+
+    def refine_global(self, times: int = 1) -> "BrickMesh":
+        f = 2**times
+        return BrickMesh(tuple(m * f for m in self.n_elements), self.lower, self.upper)
+
+    @staticmethod
+    def bp5_cycle(cycle: int) -> "BrickMesh":
+        """The BP5 benchmark's geometric mesh sweep (``bp5/step-64.cu:629-663``):
+        cycle -> subdivisions in {1,2,3}x{1,2}x{1,2} + global refinement, giving
+        cell counts growing by ~2x per cycle."""
+        n_refine = cycle // 6
+        rem = cycle % 6
+        subdiv = [1, 1, 1]
+        if rem == 1 and cycle > 1:
+            subdiv = [3, 2, 2]
+            n_refine -= 1
+        elif rem == 2:
+            subdiv = [2, 1, 1]
+        elif rem == 3:
+            subdiv = [3, 1, 1]
+        elif rem == 4:
+            subdiv = [2, 2, 1]
+        elif rem == 5:
+            subdiv = [3, 2, 1]
+        return BrickMesh.subdivided_hyper_rectangle(tuple(subdiv)).refine_global(n_refine)
+
+    # ------------------------------------------------------------------ #
+    @property
+    def n_cells(self) -> int:
+        mx, my, mz = self.n_elements
+        return mx * my * mz
+
+    @property
+    def h(self) -> tuple[float, float, float]:
+        """Element extents per axis (uniform)."""
+        return tuple(
+            (self.upper[d] - self.lower[d]) / self.n_elements[d] for d in range(3)
+        )
+
+    # ------------------------------------------------------------------ #
+    # DoF handler functionality for continuous Q_p elements
+    # ------------------------------------------------------------------ #
+    def n_nodes(self, degree: int) -> tuple[int, int, int]:
+        """Global node-line counts per axis: N_d = m_d * p + 1."""
+        return tuple(m * degree + 1 for m in self.n_elements)
+
+    def n_dofs(self, degree: int) -> int:
+        nx, ny, nz = self.n_nodes(degree)
+        return nx * ny * nz
+
+    def node_coords_1d(self, degree: int, nodes_1d: np.ndarray) -> list[np.ndarray]:
+        """Physical coordinates of the global node lines per axis, given the
+        (p+1) reference nodal points in [0,1] (GLL for FE_Q)."""
+        out = []
+        for d in range(3):
+            m = self.n_elements[d]
+            h = self.h[d]
+            # element e covers [lower + e*h, lower + (e+1)*h]; interior nodes
+            # are shared so keep unique lexicographic lines
+            lines = self.lower[d] + h * (
+                np.arange(m)[:, None] + nodes_1d[None, :]
+            )  # [m, p+1]
+            uniq = np.concatenate([lines[:, :-1].reshape(-1), lines[-1:, -1]])
+            out.append(uniq)
+        return out
+
+    def element_dof_map(self, degree: int) -> np.ndarray:
+        """``local_to_global``: int32 ``[n_cells, (p+1)^3]`` map from cell-local
+        lexicographic DoF index to global DoF (reference L-1 table,
+        ``bp5/fe_evaluation_gl.h:135-152``). Only needed by the general
+        gather backend — the structured backend never materializes it."""
+        p = degree
+        nx, ny, nz = self.n_nodes(p)
+        mx, my, mz = self.n_elements
+        ex = np.arange(mx) * p  # global start index per element, axis x
+        ey = np.arange(my) * p
+        ez = np.arange(mz) * p
+        lx = np.arange(p + 1)
+        gx = ex[:, None] + lx[None, :]  # [mx, p+1]
+        gy = ey[:, None] + lx[None, :]
+        gz = ez[:, None] + lx[None, :]
+        # global id = ix + Nx*(iy + Ny*iz); element order (ez,ey,ex), local (k,j,i)
+        g = (
+            gx[None, None, :, None, None, :]
+            + nx * gy[None, :, None, None, :, None]
+            + nx * ny * gz[:, None, None, :, None, None]
+        )  # [mz, my, mx, p+1(k), p+1(j), p+1(i)]
+        return np.ascontiguousarray(
+            g.reshape(self.n_cells, (p + 1) ** 3), dtype=np.int32
+        )
+
+    def boundary_dof_mask(self, degree: int) -> np.ndarray:
+        """Boolean ``[n_dofs]`` mask of DoFs on the domain boundary (all six
+        faces), i.e. the zero-Dirichlet constrained set (reference L-15,
+        ``bp5/step-64.cu:351-358``)."""
+        nx, ny, nz = self.n_nodes(degree)
+        ix = np.arange(nx)
+        iy = np.arange(ny)
+        iz = np.arange(nz)
+        bx = (ix == 0) | (ix == nx - 1)
+        by = (iy == 0) | (iy == ny - 1)
+        bz = (iz == 0) | (iz == nz - 1)
+        mask = (
+            bx[None, None, :] | by[None, :, None] | bz[:, None, None]
+        )  # [nz, ny, nx]
+        return mask.reshape(-1)
+
+    def interior_multiplicity(self, degree: int) -> np.ndarray:
+        """How many elements share each global DoF — useful for tests and for
+        counting-based assembly checks."""
+        p = degree
+        counts = []
+        for d in range(3):
+            n = self.n_nodes(p)[d]
+            c = np.ones(n)
+            if self.n_elements[d] > 1:
+                c[p:-1:p] = 2.0 if p > 0 else 1.0
+                c[p::p] = 2.0
+                c[-1] = 1.0
+            counts.append(c)
+        cx, cy, cz = counts
+        return (cz[:, None, None] * cy[None, :, None] * cx[None, None, :]).reshape(-1)

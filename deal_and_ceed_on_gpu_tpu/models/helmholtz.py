@@ -1,0 +1,61 @@
+"""step-64 Helmholtz operator: dst = (-laplace + a(x)) src.
+
+Rebuild of ``HelmholtzOperator`` + ``LocalHelmholtzOperator`` +
+``HelmholtzOperatorQuad`` (``step-64/step-64.cu:131-311``): full
+evaluate(values, gradients) -> ``submit_value(a(x)*u*JxW)`` +
+``submit_gradient(JxW * J^{-1}J^{-T} grad u)`` -> integrate(values,
+gradients). The varying coefficient ``a(x) = 10 / (0.05 + 2|x|^2)``
+(``step-64/step-64.cu:96-118``) is evaluated once at setup over the physical
+quadrature points — the ``evaluate_coefficients``/``VaryingCoefficientFunctor``
+equivalent (reference L-3).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..fe_space import FESpace
+from .operator_base import MatrixFreeOperator
+
+__all__ = ["HelmholtzOperator", "default_coefficient"]
+
+
+def default_coefficient(x: np.ndarray) -> np.ndarray:
+    """a(x) = 10 / (0.05 + 2 |x|^2)  (step-64/step-64.cu:96-118)."""
+    return 10.0 / (0.05 + 2.0 * np.sum(x * x, axis=-1))
+
+
+class HelmholtzOperator(MatrixFreeOperator):
+    needs_values = True
+    needs_gradients = True
+
+    def __init__(
+        self,
+        space: FESpace,
+        backend: str = "structured",
+        coefficient_fn: Callable[[np.ndarray], np.ndarray] = default_coefficient,
+    ):
+        super().__init__(space, backend)
+        geo = space.geometry
+        xq = geo.q_points_phys()  # [n_cells, n_q, 3]
+        a_q = np.asarray(coefficient_fn(xq), dtype=np.float64)
+        # fold JxW into the value coefficient: a(x_q) * det(J) * w3d(q)
+        w3d = self.w3d_layout()
+        self._coef_val = jnp.asarray(
+            self.to_layout(a_q * geo.det_j) * w3d, dtype=space.dtype
+        )
+        cdiag = geo.const_merged_diag
+        self._cdiag = tuple(jnp.asarray(c, dtype=space.dtype) for c in cdiag)
+        self._w3d = jnp.asarray(w3d, dtype=space.dtype)
+
+    def quad_point_op(self, vals, grads):
+        gx, gy, gz = grads
+        cx, cy, cz = self._cdiag
+        w = self._w3d
+        return (
+            vals * self._coef_val,
+            (gx * (cx * w), gy * (cy * w), gz * (cz * w)),
+        )

@@ -1,0 +1,29 @@
+"""BP1 mass operator: dst = M src (values-only quad-point op).
+
+CEED BP1 configuration (BASELINE.json): full Gauss quadrature q = p+2, i.e.
+the rectangular-interpolation path the reference's collocation evaluator was
+built to skip (SURVEY.md section 7 item 7). Exercises ``evaluate(values)`` /
+``integrate(values)`` with non-square S.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..fe_space import FESpace
+from .operator_base import MatrixFreeOperator
+
+__all__ = ["MassOperator"]
+
+
+class MassOperator(MatrixFreeOperator):
+    needs_values = True
+    needs_gradients = False
+
+    def __init__(self, space: FESpace, backend: str = "structured"):
+        super().__init__(space, backend)
+        geo = space.geometry
+        self._jxw = jnp.asarray(geo.det_j * self.w3d_layout(), dtype=space.dtype)
+
+    def quad_point_op(self, vals, grads):
+        return vals * self._jxw, None

@@ -1,0 +1,197 @@
+"""Matrix-free operator base: the cell-loop pipeline.
+
+TPU-native equivalent of the reference's operator wrappers
+(``PoissonOperator::vmult``, ``bp5/step-64.cu:263-276``) and of the lib
+``cell_loop`` / ``apply_kernel_shmem`` contract (reference L-2): the apply is
+
+    mask constrained src -> gather -> evaluate -> quad-point op
+        -> integrate -> scatter-add -> Dirichlet identity rows
+
+expressed as one pure jittable function. Subclasses provide only the
+quad-point operation (the ``apply_quad_point_operations`` hook,
+``bp5/fe_evaluation_gl.h:373-393``) plus which of values/gradients they need
+— exactly the knobs ``FEEvaluation::evaluate/integrate`` expose.
+
+Backends:
+- ``structured``: index-free axis-separable gather/scatter, interleaved
+  local layout ``[mz, p1, my, p1, mx, p1]`` — the TPU fast path.
+- ``gather``: explicit ``local_to_global`` + segment-sum scatter, batched
+  layout ``[E, p1, p1, p1]`` — the general path (adaptive meshes later).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fe_space import FESpace
+from ..ops import local_global as lg
+from ..ops import sum_factorization as sf
+
+__all__ = ["MatrixFreeOperator", "assemble_rhs", "l2_norm_function"]
+
+_LAYOUT_AXES = {"structured": (1, 3, 5), "gather": (1, 2, 3)}
+
+
+class MatrixFreeOperator:
+    """Base class; instances are pytree-free — all arrays are captured as
+    trace-time constants/closures, so ``jax.jit(op.vmult)`` just works."""
+
+    needs_values: bool = False
+    needs_gradients: bool = False
+
+    def __init__(self, space: FESpace, backend: str = "structured"):
+        if backend not in _LAYOUT_AXES:
+            raise ValueError(f"unknown backend {backend!r}")
+        self.space = space
+        self.backend = backend
+        self.axes = _LAYOUT_AXES[backend]
+
+    # -------------------------- subclass hook ------------------------- #
+    def quad_point_op(self, vals, grads):
+        """Map (values, reference-cell gradients) at quadrature points to the
+        integrands to be tested against (phi_i, grad phi_i). JxW and metric
+        terms are the subclass's responsibility (merged-coefficient design)."""
+        raise NotImplementedError
+
+    # ------------------------- layout helpers ------------------------- #
+    def to_layout(self, per_cell_q: np.ndarray) -> np.ndarray:
+        """Reshape a host array ``[n_cells, n_q(, c)]`` (cell order (ez,ey,ex),
+        qpoint order (qz,qy,qx)) into the backend's broadcastable layout."""
+        mx, my, mz = self.space.mesh.n_elements
+        q = self.space.basis.n_q
+        trailing = per_cell_q.shape[2:]
+        a = per_cell_q.reshape((mz, my, mx, q, q, q) + trailing)
+        if self.backend == "structured":
+            a = np.moveaxis(a, (3, 4, 5), (1, 3, 5))  # [mz,q,my,q,mx,q,...]
+        else:
+            a = a.reshape((mz * my * mx, q, q, q) + trailing)
+        return a
+
+    def w3d_layout(self) -> np.ndarray:
+        """Tensorized quadrature weights, broadcastable in the local layout."""
+        w = self.space.geometry.w3d  # [qz,qy,qx]
+        q = w.shape[0]
+        if self.backend == "structured":
+            return w.reshape(1, q, 1, q, 1, q)
+        return w.reshape(1, q, q, q)
+
+    # ----------------------------- apply ------------------------------ #
+    def gather(self, u_flat: jnp.ndarray) -> jnp.ndarray:
+        s = self.space
+        if self.backend == "structured":
+            return lg.gather_structured(
+                u_flat.reshape(s.grid_shape), s.mesh.n_elements, s.degree
+            )
+        return lg.gather_indexed(u_flat, s.elem_dof_map, s.degree)
+
+    def scatter(self, v_local: jnp.ndarray) -> jnp.ndarray:
+        s = self.space
+        if self.backend == "structured":
+            return lg.scatter_structured(v_local, s.degree).reshape(-1)
+        return lg.scatter_indexed(v_local, s.elem_dof_map, s.n_dofs)
+
+    def apply_cell_loop(self, u_flat: jnp.ndarray) -> jnp.ndarray:
+        """The raw cell loop (no constraint handling): reference L-2."""
+        s = self.space
+        ul = self.gather(u_flat)
+        vals, grads = sf.evaluate(
+            ul,
+            s.S,
+            s.D,
+            self.axes,
+            self.needs_values,
+            self.needs_gradients,
+            s.basis.collocation,
+        )
+        vals, grads = self.quad_point_op(vals, grads)
+        vl = sf.integrate(vals, grads, s.S, s.D, self.axes, s.basis.collocation)
+        return self.scatter(vl)
+
+    def vmult(self, src: jnp.ndarray) -> jnp.ndarray:
+        """dst = A src with Dirichlet rows acting as identity
+        (``bp5/step-64.cu:263-276``). Pure function: returns a fresh dst
+        (the reference's ``do_zero_out`` dance is a CUDA-accumulation
+        artifact with no XLA analog)."""
+        s = self.space
+        u = s.zero_constrained_values(src)
+        dst = self.apply_cell_loop(u)
+        return s.copy_constrained_values(src, dst)
+
+    def __call__(self, src: jnp.ndarray) -> jnp.ndarray:
+        return self.vmult(src)
+
+    def diagonal(self) -> jnp.ndarray:
+        """Preconditioner diagonal slot (reference L-12 ``DiagonalMatrix``).
+        Both reference drivers fill it with 1.0 (``bp5/step-64.cu:428-432``);
+        kept as a real vector so true Jacobi plugs in."""
+        return jnp.ones((self.space.n_dofs,), dtype=self.space.dtype)
+
+
+# --------------------------------------------------------------------- #
+# RHS assembly and validation norms (reference L-17 / L-18)
+# --------------------------------------------------------------------- #
+def assemble_rhs(
+    space: FESpace,
+    f: float | Callable[[np.ndarray], np.ndarray] = 1.0,
+    backend: str = "structured",
+) -> jnp.ndarray:
+    """Assemble the load vector b_i = integral(f * phi_i), zeroing constrained
+    rows. The reference does this with a host FEValues loop and stages to the
+    device (``bp5/step-64.cu:372-418``); here it reuses the device integrate/
+    scatter pipeline directly.
+    """
+    op = MatrixFreeOperator(space, backend)
+    geo = space.geometry
+    if callable(f):
+        xq = geo.q_points_phys()  # [n_cells, n_q, 3]
+        f_q = np.asarray(f(xq), dtype=np.float64).reshape(space.mesh.n_cells, geo.n_q)
+        integrand = jnp.asarray(
+            op.to_layout(f_q * geo.det_j)
+            * op.w3d_layout(),
+            dtype=space.dtype,
+        )
+    else:
+        integrand = jnp.asarray(
+            float(f) * geo.det_j * op.w3d_layout(), dtype=space.dtype
+        )
+        # broadcast to full local shape so integrate sees the right rank
+        shape = _local_shape(space, backend)
+        integrand = jnp.broadcast_to(integrand, shape)
+    vl = sf.integrate(integrand, None, space.S, space.D, op.axes, space.basis.collocation)
+    b = op.scatter(vl)
+    return space.zero_constrained_values(b)
+
+
+def _local_shape(space: FESpace, backend: str) -> tuple[int, ...]:
+    q = space.basis.n_q
+    mx, my, mz = space.mesh.n_elements
+    if backend == "structured":
+        return (mz, q, my, q, mx, q)
+    return (mx * my * mz, q, q, q)
+
+
+def l2_norm_function(space: FESpace, u_flat: jnp.ndarray, n_q: int | None = None):
+    """L2 norm of the FE function u_h, via quadrature with ``n_q`` (default
+    p+2, matching the reference's ``QGauss(p+2)`` validation rule,
+    ``bp5/step-64.cu:602-616``)."""
+    from ..basis import Basis1D
+
+    p = space.degree
+    vb = Basis1D.make(p, p + 2 if n_q is None else n_q, "gauss")
+    S = jnp.asarray(vb.S, dtype=space.dtype)
+    D = jnp.asarray(vb.D, dtype=space.dtype)
+    op = MatrixFreeOperator(space, "structured")
+    ul = op.gather(u_flat)
+    vals, _ = sf.evaluate(ul, S, D, op.axes, True, False, False)
+    w = vb.q_weights
+    q = w.shape[0]
+    w3d = (w[:, None, None] * w[None, :, None] * w[None, None, :]).reshape(
+        1, q, 1, q, 1, q
+    )
+    jxw = jnp.asarray(space.geometry.det_j * w3d, dtype=space.dtype)
+    return jnp.sqrt(jnp.sum(vals * vals * jxw))

@@ -1,0 +1,61 @@
+"""BP5/BP3 Poisson operator: dst = stiffness(src) with merged coefficients.
+
+Rebuild of ``LocalPoissonOperator`` + ``PoissonOperator``
+(``bp5/step-64.cu:118-276``): evaluate gradients only, contract with the
+merged symmetric coefficient tensor ``C(q) = JxW(q) * J^{-1} J^{-T}`` per
+quadrature point (``bp5/step-64.cu:160-188``), integrate gradients only.
+
+Coefficient representations (see geometry.py):
+- ``merged_const`` — uniform brick fast path: C(q) = w3d(q) * diag(c), three
+  trace-time scalars; zero metric HBM traffic.
+- ``merged_full`` — per-(cell,q) symmetric 6-plane arrays, the layout the
+  reference's ``JacobianFunctor`` precomputes (``bp5/step-64.cu:60-114``);
+  exercises the general-mesh path.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..fe_space import FESpace
+from .operator_base import MatrixFreeOperator
+
+__all__ = ["PoissonOperator"]
+
+
+class PoissonOperator(MatrixFreeOperator):
+    needs_values = False
+    needs_gradients = True
+
+    def __init__(
+        self,
+        space: FESpace,
+        backend: str = "structured",
+        coefficient: str = "merged_const",
+    ):
+        super().__init__(space, backend)
+        self.coefficient = coefficient
+        geo = space.geometry
+        if coefficient == "merged_const":
+            c = geo.const_merged_diag
+            self._cdiag = tuple(jnp.asarray(ci, dtype=space.dtype) for ci in c)
+            self._w3d = jnp.asarray(self.w3d_layout(), dtype=space.dtype)
+        elif coefficient == "merged_full":
+            coef = self.to_layout(geo.merged_coef_full())  # [..., 6]
+            self._coef = jnp.asarray(coef, dtype=space.dtype)
+        else:
+            raise ValueError(f"unknown coefficient mode {coefficient!r}")
+
+    def quad_point_op(self, vals, grads):
+        gx, gy, gz = grads
+        if self.coefficient == "merged_const":
+            cx, cy, cz = self._cdiag
+            w = self._w3d
+            return None, (gx * (cx * w), gy * (cy * w), gz * (cz * w))
+        c = self._coef
+        # symmetric 3x3 contraction, 6 planes (xx,xy,xz,yy,yz,zz) —
+        # mirrors bp5/step-64.cu:164-188
+        fx = c[..., 0] * gx + c[..., 1] * gy + c[..., 2] * gz
+        fy = c[..., 1] * gx + c[..., 3] * gy + c[..., 4] * gz
+        fz = c[..., 2] * gx + c[..., 4] * gy + c[..., 5] * gz
+        return None, (fx, fy, fz)

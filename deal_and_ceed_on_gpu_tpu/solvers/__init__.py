@@ -1,0 +1,17 @@
+from .control import (
+    SolverControl,
+    IterationNumberControl,
+    ReductionControl,
+    NoConvergence,
+)
+from .cg import solve_cg
+from .cg_merged import solve_cg_merged
+
+__all__ = [
+    "SolverControl",
+    "IterationNumberControl",
+    "ReductionControl",
+    "NoConvergence",
+    "solve_cg",
+    "solve_cg_merged",
+]

@@ -1,0 +1,116 @@
+"""Dense/sparse assembly oracle (numpy/scipy, CPU, float64).
+
+The reference verifies against CPU deal.II runs by eye (SURVEY.md section 4);
+this module formalizes that: assemble the *actual* global sparse matrix for
+tiny meshes with exactly the same quadrature the matrix-free operator uses,
+so operator outputs must agree to roundoff. Everything here is test
+infrastructure — never on the TPU hot path.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+import scipy.sparse as sp
+
+from ..basis import Basis1D
+from ..geometry import Geometry
+from ..mesh import BrickMesh
+
+__all__ = [
+    "element_matrix",
+    "assemble_sparse",
+    "apply_constrained",
+    "constrained_matrix",
+]
+
+
+def _kron3(az, ay, ax):
+    return np.kron(az, np.kron(ay, ax))
+
+
+def element_matrix(
+    mesh: BrickMesh,
+    basis: Basis1D,
+    kind: str,
+    cell_qpoints: Optional[np.ndarray] = None,
+    coefficient_fn: Optional[Callable] = None,
+) -> np.ndarray:
+    """Per-element matrix ``[(p+1)^3, (p+1)^3]`` (local lexicographic
+    z,y,x order, x fastest) using the basis's quadrature rule.
+
+    kind: "stiffness" | "mass" | "helmholtz" (stiffness + a(x) mass).
+    For "helmholtz", ``cell_qpoints [n_q, 3]`` gives physical quadrature
+    points of the specific cell (the matrix is then cell-dependent).
+    """
+    hx, hy, hz = mesh.h
+    det = hx * hy * hz
+    S, D, w = basis.S, basis.D, basis.q_weights
+    # 1D quadrature-evaluated matrices on [0,1]
+    M1 = np.einsum("q,qa,qb->ab", w, S, S)
+    K1 = np.einsum("q,qa,qb->ab", w, D, D)
+    if kind == "mass":
+        return det * _kron3(M1, M1, M1)
+    stiff = det * (
+        (1.0 / hx**2) * _kron3(M1, M1, K1)
+        + (1.0 / hy**2) * _kron3(M1, K1, M1)
+        + (1.0 / hz**2) * _kron3(K1, M1, M1)
+    )
+    if kind == "stiffness":
+        return stiff
+    if kind == "helmholtz":
+        assert cell_qpoints is not None and coefficient_fn is not None
+        a_q = coefficient_fn(cell_qpoints)  # [n_q]
+        Phi = _kron3(S, S, S)  # [n_q3, ndof]
+        w3 = np.einsum("i,j,k->ijk", w, w, w).reshape(-1)
+        Mass_a = det * np.einsum("q,q,qa,qb->ab", w3, a_q, Phi, Phi)
+        return stiff + Mass_a
+    raise ValueError(kind)
+
+
+def assemble_sparse(
+    mesh: BrickMesh,
+    basis: Basis1D,
+    kind: str,
+    coefficient_fn: Optional[Callable] = None,
+) -> sp.csr_matrix:
+    """Global sparse operator (no constraints applied)."""
+    p = basis.degree
+    dof_map = mesh.element_dof_map(p)  # [E, ndof]
+    n = mesh.n_dofs(p)
+    rows, cols, vals = [], [], []
+    if kind == "helmholtz":
+        qpts = Geometry.from_mesh(mesh, basis).q_points_phys()  # [E, n_q, 3]
+    for e in range(mesh.n_cells):
+        if kind == "helmholtz":
+            Ae = element_matrix(mesh, basis, kind, qpts[e], coefficient_fn)
+        else:
+            Ae = element_matrix(mesh, basis, kind)
+        idx = dof_map[e]
+        rows.append(np.repeat(idx, idx.size))
+        cols.append(np.tile(idx, idx.size))
+        vals.append(Ae.reshape(-1))
+    A = sp.coo_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(n, n),
+    )
+    return A.tocsr()
+
+
+def apply_constrained(A: sp.csr_matrix, mask: np.ndarray, u: np.ndarray) -> np.ndarray:
+    """Reference semantics of ``vmult`` with zero-Dirichlet constraints:
+    zero constrained inputs, apply, then identity on constrained rows
+    (``copy_constrained_values``, ``bp5/step-64.cu:275``)."""
+    ui = np.where(mask, 0.0, u)
+    out = A @ ui
+    return np.where(mask, u, out)
+
+
+def constrained_matrix(A: sp.csr_matrix, mask: np.ndarray) -> sp.csr_matrix:
+    """The effective SPD matrix: identity on constrained DoFs, interior block
+    elsewhere (columns and rows of constrained DoFs zeroed)."""
+    n = A.shape[0]
+    P = sp.diags((~mask).astype(float))
+    Ic = sp.diags(mask.astype(float))
+    return (P @ A @ P + Ic).tocsr()
