@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark entry point for the driver: BP5 operator-apply throughput.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Headline = BP5 vmult throughput (GDoF/s/chip) at p=5, the reference's hot
+kernel (``apply_kernel_shmem``, README.md:72). vs_baseline is measured
+against the 1 GDoF/s/chip north-star target in BASELINE.json.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deal_and_ceed_on_gpu_tpu import BrickMesh, FESpace
+from deal_and_ceed_on_gpu_tpu.models import PoissonOperator
+
+CYCLE = 33  # ~12.5M DoFs at p=5 (bp5 sweep logic)
+DEGREE = 5
+N_APPLIES = 50
+N_REPS = 5
+DTYPE = "float32"
+BASELINE_GDOFS = 1.0  # BASELINE.json north-star: >= 1 GDoF/s/chip
+
+
+def main():
+    mesh = BrickMesh.bp5_cycle(CYCLE)
+    space = FESpace.create(mesh, DEGREE, rule="gauss_lobatto", dtype=jnp.dtype(DTYPE))
+    op = PoissonOperator(space, backend="structured")
+    n = space.n_dofs
+
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal(n), dtype=space.dtype)
+    u = u / jnp.linalg.norm(u)
+
+    # scale to keep the chained applies bounded
+    v = op.vmult(u)
+    lam = float(jnp.linalg.norm(jax.block_until_ready(v)))
+    scale = jnp.asarray(1.0 / max(lam, 1.0), dtype=space.dtype)
+
+    @jax.jit
+    def chain(u):
+        def body(i, v):
+            return op.vmult(v) * scale
+
+        return jax.lax.fori_loop(0, N_APPLIES, body, u)
+
+    jax.block_until_ready(chain(u))  # compile + warmup
+    best = 0.0
+    for _ in range(N_REPS):
+        t0 = time.perf_counter()
+        jax.block_until_ready(chain(u))
+        dt = time.perf_counter() - t0
+        best = max(best, n * N_APPLIES / dt)
+
+    gdofs = best / 1e9
+    print(
+        json.dumps(
+            {
+                "metric": f"BP5 vmult throughput (p={DEGREE}, {n} DoFs, {DTYPE})",
+                "value": round(gdofs, 4),
+                "unit": "GDoF/s/chip",
+                "vs_baseline": round(gdofs / BASELINE_GDOFS, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

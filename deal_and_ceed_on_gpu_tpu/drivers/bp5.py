@@ -1,0 +1,198 @@
+"""BP5 benchmark driver: mesh-size sweep, three benchmark modes, validation.
+
+Rebuild of the ``PoissonProblem`` driver (``bp5/step-64.cu:280-679``) with
+runtime configuration replacing the reference's template parameters
+(``<dim=3, fe_degree=5>`` instantiated at ``bp5/step-64.cu:724-733``). Output
+lines match the reference format so result tables are comparable:
+
+    pcg-standard <dofs/rank> <max_throughput>
+    pcg-merged   <dofs/rank> <max_throughput>
+    vmult        <dofs/rank> <max_throughput>
+
+Throughput = DoFs * iterations / wall_time / n_processes, max over
+repetitions (``bp5/step-64.cu:458-463``). Timing fences with
+``block_until_ready`` (the ``cudaDeviceSynchronize`` equivalent).
+
+The vmult mode chains ``v <- (A v) * (1/lambda_est)`` so the loop cannot be
+hoisted as loop-invariant and f32 cannot overflow across 200 applies; the
+scalar multiply fuses into the scatter and adds no measurable traffic.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fe_space import FESpace
+from ..mesh import BrickMesh
+from ..models import PoissonOperator, assemble_rhs, l2_norm_function
+from ..solvers import IterationNumberControl, solve_cg, solve_cg_merged
+from ..utils.logging import rank0_print as pcout
+from ..utils.timer import Timer
+
+__all__ = ["BP5Config", "run_cycle", "run"]
+
+
+@dataclasses.dataclass
+class BP5Config:
+    degree: int = 5
+    n_iterations: int = 200
+    n_repetitions: int = 10
+    dtype: str = "float32"
+    backend: str = "structured"
+    rule: str = "gauss_lobatto"  # BP5 collocation; "gauss" for BP3-style
+    n_q: int | None = None
+    modes: tuple = ("pcg-standard", "pcg-merged", "vmult")
+    validate: bool = True
+
+
+def _throughput_lines(label, n_dofs, times, iters, n_ranks=1):
+    tp = [n_dofs * it / t / n_ranks for t, it in zip(times, iters)]
+    for t, it, th in zip(times, iters, tp):
+        pcout(f"   Solved in {it} iterations with time {t:.6f} and DoFs/s {th:.6g}")
+    best = max(tp)
+    pcout(f"{label} {n_dofs // n_ranks} {best:.6g}")
+    pcout("")
+    return best
+
+
+def estimate_lambda_max(op, n_dofs, iters=12, seed=0):
+    """Crude power-iteration bound on the operator spectral radius (used only
+    to scale the chained vmult benchmark)."""
+    u = jnp.asarray(
+        np.random.default_rng(seed).standard_normal(n_dofs), dtype=op.space.dtype
+    )
+
+    def body(i, carry):
+        u, lam = carry
+        v = op.vmult(u)
+        lam = jnp.linalg.norm(v)
+        return v / lam, lam
+
+    _, lam = jax.lax.fori_loop(0, iters, body, (u / jnp.linalg.norm(u), jnp.array(1.0, op.space.dtype)))
+    return float(lam)
+
+
+def run_cycle(cycle: int, cfg: BP5Config):
+    mesh = BrickMesh.bp5_cycle(cycle)
+    dtype = jnp.dtype(cfg.dtype)
+    space = FESpace.create(mesh, cfg.degree, n_q=cfg.n_q, rule=cfg.rule, dtype=dtype)
+    op = PoissonOperator(space, backend=cfg.backend)
+    pcout(f"Cycle {cycle}")
+    pcout(f"   Number of active cells:       {mesh.n_cells}")
+    pcout(f"   Number of degrees of freedom: {space.n_dofs}")
+    pcout("")
+
+    b = assemble_rhs(space, 1.0, backend=cfg.backend)
+    b = jax.block_until_ready(b)
+    diag = op.diagonal()
+    norm_b = float(jnp.linalg.norm(b))
+    control = IterationNumberControl(cfg.n_iterations, 1e-6 * norm_b)
+
+    results = {}
+    solution = None
+
+    if "pcg-standard" in cfg.modes:
+        f = jax.jit(lambda b: solve_cg(op.vmult, b, control, diag=diag))
+        x, info = f(b)  # warmup/compile
+        jax.block_until_ready(x)
+        times, iters = [], []
+        for _ in range(cfg.n_repetitions):
+            t = Timer().start()
+            x, info = f(b)
+            t.stop(fence=(x, info["res_norm"]))
+            times.append(t.elapsed)
+            iters.append(int(info["n_iterations"]))
+        results["pcg-standard"] = _throughput_lines(
+            "pcg-standard", space.n_dofs, times, iters
+        )
+        solution = x
+
+    if "pcg-merged" in cfg.modes:
+        f = jax.jit(lambda b: solve_cg_merged(op.vmult, b, control, diag=diag))
+        x, info = f(b)
+        jax.block_until_ready(x)
+        times, iters = [], []
+        for _ in range(cfg.n_repetitions):
+            t = Timer().start()
+            x, info = f(b)
+            t.stop(fence=(x, info["res_norm"]))
+            times.append(t.elapsed)
+            iters.append(int(info["n_iterations"]))
+        results["pcg-merged"] = _throughput_lines(
+            "pcg-merged", space.n_dofs, times, iters
+        )
+        solution = x
+
+    if "vmult" in cfg.modes:
+        lam = estimate_lambda_max(op, space.n_dofs)
+        scale = jnp.asarray(1.0 / lam, dtype=dtype)
+
+        @jax.jit
+        def chain(u):
+            def body(i, v):
+                return op.vmult(v) * scale
+
+            return jax.lax.fori_loop(0, cfg.n_iterations, body, u)
+
+        u0 = b / jnp.linalg.norm(b)
+        jax.block_until_ready(chain(u0))
+        times = []
+        for _ in range(cfg.n_repetitions):
+            t = Timer().start()
+            out = chain(u0)
+            t.stop(fence=out)
+            times.append(t.elapsed)
+        tp = [space.n_dofs * cfg.n_iterations / t for t in times]
+        for t, th in zip(times, tp):
+            pcout(f"   {cfg.n_iterations} mat-vecs in time {t:.6f} and DoFs/s {th:.6g}")
+        results["vmult"] = max(tp)
+        pcout(f"vmult {space.n_dofs} {max(tp):.6g}")
+        pcout("")
+
+    if cfg.validate and solution is not None:
+        norm = float(l2_norm_function(space, solution))
+        pcout(f"   solution L2 norm: {norm:.12g}")
+        results["l2_norm"] = norm
+        pcout("")
+
+    return results
+
+
+def run(cycle_min=7, cycle_max=40, cfg: BP5Config | None = None):
+    cfg = cfg or BP5Config()
+    out = {}
+    for cycle in range(cycle_min, cycle_max + 1):
+        out[cycle] = run_cycle(cycle, cfg)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser(description="BP5 benchmark (TPU)")
+    ap.add_argument("--cycle-min", type=int, default=7)
+    ap.add_argument("--cycle-max", type=int, default=40)
+    ap.add_argument("--degree", type=int, default=5)
+    ap.add_argument("--iterations", type=int, default=200)
+    ap.add_argument("--repetitions", type=int, default=10)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--backend", default="structured")
+    ap.add_argument("--modes", default="pcg-standard,pcg-merged,vmult")
+    args = ap.parse_args()
+    cfg = BP5Config(
+        degree=args.degree,
+        n_iterations=args.iterations,
+        n_repetitions=args.repetitions,
+        dtype=args.dtype,
+        backend=args.backend,
+        modes=tuple(args.modes.split(",")),
+    )
+    run(args.cycle_min, args.cycle_max, cfg)
+
+
+if __name__ == "__main__":
+    main()

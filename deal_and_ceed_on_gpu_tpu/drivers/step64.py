@@ -1,0 +1,75 @@
+"""step-64 Helmholtz driver: the correctness workload.
+
+Rebuild of ``HelmholtzProblem`` (``step-64/step-64.cu:55-633``): solve
+``-laplace(u) + a(x) u = 1`` with ``a(x) = 10/(0.05 + 2|x|^2)``, Q3 elements
+on a globally refined unit cube, zero Dirichlet boundary, CG to a relative
+tolerance of 1e-12 (``step-64/step-64.cu:513-514``), then report iteration
+count and the solution L2 norm. Runs with both the plain and the merged CG
+solver (``step-64/step-64.cu:682-688``; the reference intended the same
+cross-check but its snapshot references a renamed class and does not
+compile — SURVEY.md "known quirks").
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+
+from ..fe_space import FESpace
+from ..mesh import BrickMesh
+from ..models import HelmholtzOperator, assemble_rhs, l2_norm_function
+from ..solvers import SolverControl, solve_cg, solve_cg_merged
+from ..utils.logging import rank0_print as pcout
+
+__all__ = ["run"]
+
+
+def run(
+    n_refine: int = 3,
+    degree: int = 3,
+    dtype="float64",
+    backend: str = "structured",
+    use_merged: bool = False,
+    rtol: float = 1e-12,
+    max_steps: int = 2000,
+):
+    mesh = BrickMesh.hyper_cube().refine_global(n_refine)
+    space = FESpace.create(mesh, degree, rule="gauss", dtype=jnp.dtype(dtype))
+    op = HelmholtzOperator(space, backend=backend)
+    pcout(f"   Number of active cells: {mesh.n_cells}")
+    pcout(f"   Number of degrees of freedom: {space.n_dofs}")
+
+    b = assemble_rhs(space, 1.0, backend=backend)
+    control = SolverControl(max_steps, rtol * float(jnp.linalg.norm(b)))
+    solver = solve_cg_merged if use_merged else solve_cg
+    x, info = jax.jit(lambda b: solver(op.vmult, b, control, diag=op.diagonal()))(b)
+    it = int(info["n_iterations"])
+    control.check({k: jax.device_get(v) for k, v in info.items()})
+    pcout(f"  Solved in {it} iterations.")
+    norm = float(l2_norm_function(space, x))
+    pcout(f"  solution norm: {norm:.12g}")
+    return {"n_iterations": it, "l2_norm": norm, "x": x, "space": space}
+
+
+def main():
+    ap = argparse.ArgumentParser(description="step-64 Helmholtz (TPU)")
+    ap.add_argument("--refine", type=int, default=3)
+    ap.add_argument("--degree", type=int, default=3)
+    ap.add_argument("--dtype", default="float64")
+    ap.add_argument("--backend", default="structured")
+    args = ap.parse_args()
+    for use_merged in (False, True):
+        pcout(f"--- use_merged = {use_merged} ---")
+        run(
+            n_refine=args.refine,
+            degree=args.degree,
+            dtype=args.dtype,
+            backend=args.backend,
+            use_merged=use_merged,
+        )
+
+
+if __name__ == "__main__":
+    main()
