@@ -1,6 +1,9 @@
 #!/usr/bin/env python
 """Benchmark entry point for the driver: BP5 operator-apply throughput.
 
+Uses the separable (Kronecker) backend — the uniform-mesh fast path
+(ops/separable.py).
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Headline = BP5 vmult throughput (GDoF/s/chip) at p=5, the reference's hot
 kernel (``apply_kernel_shmem``, README.md:72). vs_baseline is measured
@@ -29,7 +32,7 @@ BASELINE_GDOFS = 1.0  # BASELINE.json north-star: >= 1 GDoF/s/chip
 def main():
     mesh = BrickMesh.bp5_cycle(CYCLE)
     space = FESpace.create(mesh, DEGREE, rule="gauss_lobatto", dtype=jnp.dtype(DTYPE))
-    op = PoissonOperator(space, backend="structured")
+    op = PoissonOperator(space, backend="separable")
     n = space.n_dofs
 
     rng = np.random.default_rng(0)

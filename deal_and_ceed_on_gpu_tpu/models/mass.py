@@ -23,6 +23,11 @@ class MassOperator(MatrixFreeOperator):
     def __init__(self, space: FESpace, backend: str = "structured"):
         super().__init__(space, backend)
         geo = space.geometry
+        if backend == "separable":
+            from ..ops.separable import mass_terms
+
+            self._sep_terms = mass_terms(space.mesh, space.basis, space.dtype)
+            return
         self._jxw = jnp.asarray(geo.det_j * self.w3d_layout(), dtype=space.dtype)
 
     def quad_point_op(self, vals, grads):

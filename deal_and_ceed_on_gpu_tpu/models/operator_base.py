@@ -34,7 +34,7 @@ from ..ops import sum_factorization as sf
 
 __all__ = ["MatrixFreeOperator", "assemble_rhs", "l2_norm_function"]
 
-_LAYOUT_AXES = {"structured": (1, 3, 5), "gather": (1, 2, 3)}
+_LAYOUT_AXES = {"structured": (1, 3, 5), "gather": (1, 2, 3), "separable": None}
 
 
 class MatrixFreeOperator:
@@ -50,6 +50,12 @@ class MatrixFreeOperator:
         self.space = space
         self.backend = backend
         self.axes = _LAYOUT_AXES[backend]
+        # separable backend: subclasses that support it fill _sep_terms
+        self._sep_terms = None
+        self.sep_mode = "matmul"
+        # materialize cached device constants eagerly: a first access inside
+        # a jit trace would cache a tracer (which then escapes)
+        _ = space.S, space.D, space.dirichlet_mask
 
     # -------------------------- subclass hook ------------------------- #
     def quad_point_op(self, vals, grads):
@@ -98,6 +104,15 @@ class MatrixFreeOperator:
     def apply_cell_loop(self, u_flat: jnp.ndarray) -> jnp.ndarray:
         """The raw cell loop (no constraint handling): reference L-2."""
         s = self.space
+        if self.backend == "separable":
+            from ..ops.separable import apply_separable
+
+            if self._sep_terms is None:
+                raise NotImplementedError(
+                    f"{type(self).__name__} has no separable form"
+                )
+            u = u_flat.reshape(s.grid_shape)
+            return apply_separable(u, self._sep_terms, self.sep_mode).reshape(-1)
         ul = self.gather(u_flat)
         vals, grads = sf.evaluate(
             ul,
@@ -145,6 +160,10 @@ def assemble_rhs(
     device (``bp5/step-64.cu:372-418``); here it reuses the device integrate/
     scatter pipeline directly.
     """
+    if backend not in ("structured", "gather"):
+        # separable/pallas are vmult-only fast paths; RHS assembly is a
+        # one-time setup cost, served by the structured cell loop
+        backend = "structured"
     op = MatrixFreeOperator(space, backend)
     geo = space.geometry
     if callable(f):

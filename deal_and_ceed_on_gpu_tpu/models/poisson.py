@@ -33,9 +33,27 @@ class PoissonOperator(MatrixFreeOperator):
         backend: str = "structured",
         coefficient: str = "merged_const",
     ):
+        if backend == "pallas":
+            # fused stencil kernel with the kernel-owned padded layout
+            # (ops/pallas_stencil.py); vectors are layout padded-flat
+            from ..ops.pallas_stencil import build_stencil_operator
+
+            super().__init__(space, "separable")
+            self.backend = "pallas"
+            self.coefficient = coefficient
+            self._stencil = build_stencil_operator(
+                space.mesh, space.basis, space.dtype
+            )
+            return
         super().__init__(space, backend)
         self.coefficient = coefficient
         geo = space.geometry
+        if backend == "separable":
+            # Kronecker fast path (uniform mesh): see ops/separable.py
+            from ..ops.separable import poisson_terms
+
+            self._sep_terms = poisson_terms(space.mesh, space.basis, space.dtype)
+            return
         if coefficient == "merged_const":
             c = geo.const_merged_diag
             self._cdiag = tuple(jnp.asarray(ci, dtype=space.dtype) for ci in c)
@@ -45,6 +63,31 @@ class PoissonOperator(MatrixFreeOperator):
             self._coef = jnp.asarray(coef, dtype=space.dtype)
         else:
             raise ValueError(f"unknown coefficient mode {coefficient!r}")
+
+    # ------------------- pallas (padded-layout) path ------------------- #
+    @property
+    def layout(self):
+        return self._stencil.layout
+
+    def vmult_padded(self, src: jnp.ndarray) -> jnp.ndarray:
+        """dst = A src on layout-*padded* flat vectors (zero padding is an
+        invariant of the operator and of all CG updates, so entire solves run
+        in this layout; the mask also restores the never-written dead
+        strips to their zero src values)."""
+        L = self._stencil.layout
+        mask = L.constrained_mask_expr()  # traced iota expr, no constants
+        s3 = src.reshape(L.padded_shape)
+        u = jnp.where(mask, jnp.zeros((), src.dtype), s3).reshape(-1)
+        dst = self._stencil(u).reshape(L.padded_shape)
+        return jnp.where(mask, s3, dst).reshape(-1)
+
+    def vmult(self, src: jnp.ndarray) -> jnp.ndarray:
+        if self.backend == "pallas":
+            L = self._stencil.layout
+            if src.shape[0] == L.n:
+                return self.vmult_padded(src)
+            return L.unpad_flat(self.vmult_padded(L.pad_flat(src)))
+        return super().vmult(src)
 
     def quad_point_op(self, vals, grads):
         gx, gy, gz = grads

@@ -1,0 +1,48 @@
+"""Fused Pallas stencil kernel (interpret mode on CPU) vs the jnp backends."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deal_and_ceed_on_gpu_tpu import BrickMesh, FESpace
+from deal_and_ceed_on_gpu_tpu.models import PoissonOperator
+
+
+@pytest.mark.parametrize(
+    "shape,p",
+    [((2, 3, 4), 2), ((2, 2, 2), 5), ((4, 4, 8), 2), ((8, 4, 10), 3), ((2, 2, 2), 8)],
+)
+def test_pallas_vmult_matches_separable(shape, p):
+    mesh = BrickMesh(shape, upper=(1.0, 0.8, 1.3))
+    space = FESpace.create(mesh, p, rule="gauss_lobatto", dtype=jnp.float64)
+    op_ref = PoissonOperator(space, backend="separable")
+    op = PoissonOperator(space, backend="pallas")
+    op._stencil.interpret = True
+    u = jnp.asarray(np.random.default_rng(0).standard_normal(space.n_dofs))
+    want = np.asarray(op_ref.vmult(u))
+    got = np.asarray(op.vmult(u))
+    np.testing.assert_allclose(got, want, rtol=1e-13, atol=1e-13)
+
+
+def test_pallas_padded_layout_invariants():
+    """Zero padding must survive a vmult on padded vectors, and the padded
+    path must agree with pad(vmult(unpadded))."""
+    mesh = BrickMesh((4, 2, 6))
+    p = 3
+    space = FESpace.create(mesh, p, rule="gauss_lobatto", dtype=jnp.float64)
+    op = PoissonOperator(space, backend="pallas")
+    op._stencil.interpret = True
+    L = op.layout
+    u = jnp.asarray(np.random.default_rng(1).standard_normal(space.n_dofs))
+    up = L.pad_flat(u)
+    out_p = op.vmult_padded(up)
+    # padding stays exactly zero
+    mask = np.asarray(L.dirichlet_mask_padded(mesh)).reshape(L.padded_shape)
+    dead = np.ones(L.padded_shape, dtype=bool)
+    dead[L.p : L.p + L.real_shape[0], 8 : 8 + L.real_shape[1], : L.real_shape[2]] = False
+    np.testing.assert_array_equal(np.asarray(out_p).reshape(L.padded_shape)[dead], 0.0)
+    # consistency with the unpadded API
+    np.testing.assert_allclose(
+        np.asarray(L.unpad_flat(out_p)), np.asarray(op.vmult(u)), atol=1e-14
+    )
