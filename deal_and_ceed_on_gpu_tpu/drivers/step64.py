@@ -34,6 +34,7 @@ def run(
     use_merged: bool = False,
     rtol: float = 1e-12,
     max_steps: int = 2000,
+    vtu_path: str | None = None,
 ):
     mesh = BrickMesh.hyper_cube().refine_global(n_refine)
     space = FESpace.create(mesh, degree, rule="gauss", dtype=jnp.dtype(dtype))
@@ -50,6 +51,11 @@ def run(
     pcout(f"  Solved in {it} iterations.")
     norm = float(l2_norm_function(space, x))
     pcout(f"  solution norm: {norm:.12g}")
+    if vtu_path:
+        from ..utils.vtk import write_solution_vtr
+
+        write_solution_vtr(vtu_path, space, x)
+        pcout(f"  wrote {vtu_path}")
     return {"n_iterations": it, "l2_norm": norm, "x": x, "space": space}
 
 
@@ -59,6 +65,7 @@ def main():
     ap.add_argument("--degree", type=int, default=3)
     ap.add_argument("--dtype", default="float64")
     ap.add_argument("--backend", default="structured")
+    ap.add_argument("--vtu", default=None, help="write solution to this .vtr file")
     args = ap.parse_args()
     for use_merged in (False, True):
         pcout(f"--- use_merged = {use_merged} ---")
@@ -68,6 +75,7 @@ def main():
             dtype=args.dtype,
             backend=args.backend,
             use_merged=use_merged,
+            vtu_path=args.vtu if use_merged else None,
         )
 
 

@@ -124,8 +124,16 @@ class BrickMesh:
         """``local_to_global``: int32 ``[n_cells, (p+1)^3]`` map from cell-local
         lexicographic DoF index to global DoF (reference L-1 table,
         ``bp5/fe_evaluation_gl.h:135-152``). Only needed by the general
-        gather backend — the structured backend never materializes it."""
+        gather backend — the structured backend never materializes it.
+        Large meshes use the native C++ builder when available."""
         p = degree
+        if self.n_cells * (p + 1) ** 3 > 1 << 22:
+            from .utils import native
+
+            mx_, my_, mz_ = self.n_elements
+            out = native.element_dof_map(mx_, my_, mz_, p)
+            if out is not None:
+                return out
         nx, ny, nz = self.n_nodes(p)
         mx, my, mz = self.n_elements
         ex = np.arange(mx) * p  # global start index per element, axis x

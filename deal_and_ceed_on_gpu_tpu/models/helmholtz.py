@@ -42,6 +42,7 @@ class HelmholtzOperator(MatrixFreeOperator):
         geo = space.geometry
         xq = geo.q_points_phys()  # [n_cells, n_q, 3]
         a_q = np.asarray(coefficient_fn(xq), dtype=np.float64)
+        self._a_q_raw = a_q  # kept for compute_diagonal
         # fold JxW into the value coefficient: a(x_q) * det(J) * w3d(q)
         w3d = self.w3d_layout()
         self._coef_val = jnp.asarray(
@@ -50,6 +51,15 @@ class HelmholtzOperator(MatrixFreeOperator):
         cdiag = geo.const_merged_diag
         self._cdiag = tuple(jnp.asarray(c, dtype=space.dtype) for c in cdiag)
         self._w3d = jnp.asarray(w3d, dtype=space.dtype)
+
+    def compute_diagonal(self):
+        from .operator_base import tensor_product_diagonal
+
+        return tensor_product_diagonal(
+            self.space,
+            grad_cdiag=self.space.geometry.const_merged_diag,
+            value_q=self._a_q_raw,
+        )
 
     def quad_point_op(self, vals, grads):
         gx, gy, gz = grads

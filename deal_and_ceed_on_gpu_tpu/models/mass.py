@@ -32,3 +32,8 @@ class MassOperator(MatrixFreeOperator):
 
     def quad_point_op(self, vals, grads):
         return vals * self._jxw, None
+
+    def compute_diagonal(self):
+        from .operator_base import tensor_product_diagonal
+
+        return tensor_product_diagonal(self.space, value_const=1.0)

@@ -146,6 +146,68 @@ class MatrixFreeOperator:
         kept as a real vector so true Jacobi plugs in."""
         return jnp.ones((self.space.n_dofs,), dtype=self.space.dtype)
 
+    def compute_diagonal(self) -> jnp.ndarray:
+        """Exact diagonal of the constrained operator (1.0 on Dirichlet
+        rows). Subclasses call :func:`tensor_product_diagonal`; an
+        improvement over the reference's identity placeholder."""
+        raise NotImplementedError
+
+    def jacobi_preconditioner(self) -> jnp.ndarray:
+        """1/diag(A) with identity on constrained rows — a true Jacobi
+        preconditioner for the ``diag`` slot of the CG solvers."""
+        d = self.compute_diagonal()
+        return 1.0 / d
+
+
+def tensor_product_diagonal(
+    space: FESpace,
+    grad_cdiag=None,
+    value_q: Optional[np.ndarray] = None,
+    value_const: Optional[float] = None,
+) -> jnp.ndarray:
+    """diag(A) for constant-Jacobian tensor-product operators.
+
+    The per-element local diagonal separates into 1D quadrature sums:
+    ``diag_e[k,j,i] = sum_d c_d (m1 x m1 x k1)_d + det*(value part)`` with
+    ``m1_a = sum_q w_q S[q,a]^2`` and ``k1_a = sum_q w_q D[q,a]^2``; for a
+    varying value coefficient the per-axis contractions run over ``a_q``.
+    Host-side numpy (setup cost), then one scatter-add.
+    """
+    basis, geo = space.basis, space.geometry
+    S2 = basis.S**2  # [q, p+1]
+    D2 = basis.D**2
+    w = basis.q_weights
+    m1 = np.einsum("q,qa->a", w, S2)
+    k1 = np.einsum("q,qa->a", w, D2)
+    p1 = basis.n_dofs
+
+    local = np.zeros((p1, p1, p1))
+    if grad_cdiag is not None:
+        cx, cy, cz = grad_cdiag
+        local += cx * np.einsum("k,j,i->kji", m1, m1, k1)
+        local += cy * np.einsum("k,j,i->kji", m1, k1, m1)
+        local += cz * np.einsum("k,j,i->kji", k1, m1, m1)
+    if value_const is not None:
+        local += value_const * geo.det_j * np.einsum("k,j,i->kji", m1, m1, m1)
+
+    n_cells = space.mesh.n_cells
+    if value_q is not None:
+        q = basis.n_q
+        aq = value_q.reshape(n_cells, q, q, q)
+        t = np.einsum("ezyx,xi->ezyi", aq, w[:, None] * S2)
+        t = np.einsum("ezyi,yj->ezji", t, w[:, None] * S2)
+        per_cell = geo.det_j * np.einsum("ezji,zk->ekji", t, w[:, None] * S2)
+        local_e = local[None] + per_cell
+    else:
+        local_e = np.broadcast_to(local, (n_cells, p1, p1, p1))
+
+    dof_map = space.mesh.element_dof_map(space.degree)
+    diag = np.zeros(space.n_dofs)
+    np.add.at(diag, dof_map.reshape(-1), local_e.reshape(n_cells, -1).reshape(-1))
+    mask = space.mesh.boundary_dof_mask(space.degree)
+    diag[mask] = 1.0
+    return jnp.asarray(diag, dtype=space.dtype)
+
 
 # --------------------------------------------------------------------- #
 # RHS assembly and validation norms (reference L-17 / L-18)

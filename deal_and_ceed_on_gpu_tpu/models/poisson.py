@@ -89,6 +89,13 @@ class PoissonOperator(MatrixFreeOperator):
             return L.unpad_flat(self.vmult_padded(L.pad_flat(src)))
         return super().vmult(src)
 
+    def compute_diagonal(self):
+        from .operator_base import tensor_product_diagonal
+
+        return tensor_product_diagonal(
+            self.space, grad_cdiag=self.space.geometry.const_merged_diag
+        )
+
     def quad_point_op(self, vals, grads):
         gx, gy, gz = grads
         if self.coefficient == "merged_const":

@@ -1,5 +1,14 @@
-from . import oracle
+from . import checkpoint, native, oracle, profiling, vtk
 from .logging import pcout0, rank0_print
 from .timer import Timer
 
-__all__ = ["oracle", "pcout0", "rank0_print", "Timer"]
+__all__ = [
+    "oracle",
+    "native",
+    "vtk",
+    "profiling",
+    "checkpoint",
+    "pcout0",
+    "rank0_print",
+    "Timer",
+]

