@@ -54,13 +54,18 @@ class DistPoissonOperator:
     ``shard_map``; arrays are local ghosted slabs ``[nz_loc, ny, nx]``.
     """
 
-    def __init__(self, part: SlabPartition, dtype=jnp.float32):
+    def __init__(self, part: SlabPartition, dtype=jnp.float32, backend: str = "separable"):
         self.part = part
         self.space = FESpace.create(
             part.local_mesh, part.degree, rule="gauss_lobatto", dtype=dtype
         )
-        # local operator WITHOUT constraint handling; masks are shard-aware
-        self._local_op = PoissonOperator(self.space, backend="structured")
+        # Local operator WITHOUT constraint handling; masks are shard-aware.
+        # Any backend whose apply equals the sum of local element
+        # contributions is valid here — including the separable fast path:
+        # the per-shard band matrices are assembled from local elements
+        # only, so interior planes are complete and exactly the shared
+        # plane carries cross-shard partial sums (combined in halo_combine).
+        self._local_op = PoissonOperator(self.space, backend=backend)
 
     def vmult_local(self, u: jnp.ndarray) -> jnp.ndarray:
         part = self.part
