@@ -172,6 +172,48 @@ def run(cycle_min=7, cycle_max=40, cfg: BP5Config | None = None):
     return out
 
 
+def run_cycle_distributed(cycle: int, n_shards: int, cfg: BP5Config | None = None):
+    """Distributed pcg-merged benchmark over an ``n_shards`` device mesh
+    (z-slab decomposition; requires mz divisible by n_shards — cycles with
+    rem in {0,2,3} in the bp5 sweep have power-of-two mz). Reports the same
+    ``pcg-merged <dofs/rank> <throughput>`` line per-rank normalized, like
+    the reference's multi-GPU runs (``bp5/step-64.cu:470-474``)."""
+    import numpy as np
+
+    from ..parallel import DistPoissonOperator, SlabPartition, solve_cg_merged_dist
+    from ..parallel.dist_solve import make_device_mesh
+
+    cfg = cfg or BP5Config()
+    mesh = BrickMesh.bp5_cycle(cycle)
+    dtype = jnp.dtype(cfg.dtype)
+    space = FESpace.create(mesh, cfg.degree, rule=cfg.rule, dtype=dtype)
+    part = SlabPartition(mesh, cfg.degree, n_shards)
+    dist_op = DistPoissonOperator(part, dtype=dtype)
+    pcout(f"Cycle {cycle} on {n_shards} shards")
+    pcout(f"   Number of active cells:       {mesh.n_cells}")
+    pcout(f"   Number of degrees of freedom: {space.n_dofs}")
+
+    b = assemble_rhs(space, 1.0)
+    norm_b = float(jnp.linalg.norm(b))
+    control = IterationNumberControl(cfg.n_iterations, 1e-6 * norm_b)
+    b_stacked = jnp.asarray(
+        part.to_slabs(np.asarray(b).reshape(space.grid_shape))
+    )
+    devmesh = make_device_mesh(n_shards)
+    x, info = solve_cg_merged_dist(dist_op, b_stacked, control, mesh=devmesh)
+    jax.block_until_ready(x)
+
+    times, iters = [], []
+    for _ in range(cfg.n_repetitions):
+        t = Timer().start()
+        x, info = solve_cg_merged_dist(dist_op, b_stacked, control, mesh=devmesh)
+        t.stop(fence=x)
+        times.append(t.elapsed)
+        iters.append(int(info["n_iterations"]))
+    tp = _throughput_lines("pcg-merged", space.n_dofs, times, iters, n_ranks=n_shards)
+    return {"pcg-merged": tp, "n_iterations": iters[-1]}
+
+
 def main():
     ap = argparse.ArgumentParser(description="BP5 benchmark (TPU)")
     ap.add_argument("--cycle-min", type=int, default=7)

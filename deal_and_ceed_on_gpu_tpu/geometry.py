@@ -8,22 +8,21 @@ precompute (``bp5/step-64.cu:60-114``): the merged symmetric tensor
 so the Poisson quad-point operation is a single symmetric 3x3 contraction
 (the ``MERGED_COEFFICIENTS`` switch, ``bp5/step-64.cu:47``).
 
-Two representations:
+Mesh classes supported:
 
-- **constant** (uniform brick meshes, the only case the reference benchmarks):
-  the Jacobian is diagonal and identical for every element, so the merged
-  tensor factorizes as ``C(q) = det(J) * w3d(q) * diag(1/h_d^2)`` — three
-  scalars plus the tensorized quadrature weights. No per-element geometry
-  arrays exist at all; HBM traffic for metric terms is zero.
-- **general** (per-element, per-qpoint arrays ``[n_cells, n_q, 6]``): the
-  layout the reference stores (SoA planes, ``bp5/step-64.cu:107-113``),
-  needed once meshes deform. Kept as dense arrays for the gather backend.
+- **uniform brick** (the only case the reference benchmarks): the Jacobian
+  is one diagonal for every element; ``C(q) = det(J) * w3d(q) * diag(1/h^2)``
+  — three trace-time scalars, zero metric HBM traffic.
+- **graded tensor-product**: per-axis element widths; Jacobians stay
+  diagonal but vary per element. Every factor still separates per axis, so
+  the Kronecker fast path survives (ops/separable.py absorbs the widths
+  into its per-axis assembled tables); the dense ``[n_cells, n_q, 6]``
+  tables feed the general gather/structured backends.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import numpy as np
 
@@ -34,7 +33,6 @@ __all__ = ["Geometry"]
 
 
 def _tensor_weights(basis: Basis1D) -> np.ndarray:
-    """w3d[qz,qy,qx] = wz*wy*wx."""
     w = basis.q_weights
     return w[:, None, None] * w[None, :, None] * w[None, None, :]
 
@@ -43,86 +41,120 @@ def _tensor_weights(basis: Basis1D) -> np.ndarray:
 class Geometry:
     """Metric terms for a mesh + quadrature rule.
 
-    Attributes (constant path):
-      h:        element extents (hx, hy, hz)
-      det_j:    hx*hy*hz
-      w3d:      ``[qz,qy,qx]`` tensorized quadrature weights
-      inv_h2:   (1/hx^2, 1/hy^2, 1/hz^2) — diagonal of J^{-1} J^{-T}
-
-    Attributes (general path, built on demand):
-      merged_coef: ``[n_cells, n_q, 6]`` with symmetric index order
-                   (xx, xy, xz, yy, yz, zz) — reference plane layout C2.
-      jxw:         ``[n_cells, n_q]``
+    ``uniform`` selects the constant fast path (scalar ``h``/``det_j``/
+    ``inv_h2``); the per-element arrays are available for both mesh kinds.
     """
 
     mesh: BrickMesh
     basis: Basis1D
-    h: tuple[float, float, float]
-    det_j: float
-    w3d: np.ndarray
-    inv_h2: tuple[float, float, float]
+    w3d: np.ndarray  # [qz, qy, qx]
 
     @staticmethod
     def from_mesh(mesh: BrickMesh, basis: Basis1D) -> "Geometry":
-        h = mesh.h
-        det_j = h[0] * h[1] * h[2]
         w3d = _tensor_weights(basis)
         w3d.setflags(write=False)
-        inv_h2 = (1.0 / h[0] ** 2, 1.0 / h[1] ** 2, 1.0 / h[2] ** 2)
-        return Geometry(mesh, basis, h, det_j, w3d, inv_h2)
+        return Geometry(mesh, basis, w3d)
+
+    # ---------------------------------------------------------------- #
+    @property
+    def uniform(self) -> bool:
+        return self.mesh.is_uniform
 
     @property
     def n_q(self) -> int:
         return self.basis.n_q ** 3
 
-    # ---------------------------------------------------------------- #
-    # constant fast path: scalars folded into the apply
-    # ---------------------------------------------------------------- #
+    @property
+    def h(self) -> tuple[float, float, float]:
+        return self.mesh.h
+
+    @property
+    def det_j(self) -> float:
+        hx, hy, hz = self.mesh.h
+        return hx * hy * hz
+
+    @property
+    def inv_h2(self) -> tuple[float, float, float]:
+        hx, hy, hz = self.mesh.h
+        return (1.0 / hx**2, 1.0 / hy**2, 1.0 / hz**2)
+
     @property
     def const_merged_diag(self) -> tuple[float, float, float]:
-        """diag of det(J) * J^{-1} J^{-T}; multiply by w3d(q) to get C(q)."""
-        return tuple(self.det_j * ih2 for ih2 in self.inv_h2)
+        """diag of det(J) * J^{-1} J^{-T} (uniform only); multiply by
+        w3d(q) to get C(q)."""
+        d = self.det_j
+        return tuple(d * ih2 for ih2 in self.inv_h2)
 
     # ---------------------------------------------------------------- #
-    # general path: dense per-(cell, qpoint) arrays
+    # per-element diagonal factors (uniform or graded)
+    # ---------------------------------------------------------------- #
+    def det_per_cell(self) -> np.ndarray:
+        """[n_cells] det(J_e) in cell order (ez, ey, ex), x fastest."""
+        hx, hy, hz = self.mesh.h_axes()
+        return (
+            hz[:, None, None] * hy[None, :, None] * hx[None, None, :]
+        ).reshape(-1)
+
+    def merged_diag_per_cell(self) -> np.ndarray:
+        """[n_cells, 3] diag of det(J_e) J_e^{-1} J_e^{-T}: per-axis
+        (hy hz / hx, hx hz / hy, hx hy / hz)."""
+        hx, hy, hz = self.mesh.h_axes()
+        HX = hx[None, None, :]
+        HY = hy[None, :, None]
+        HZ = hz[:, None, None]
+        out = np.stack(
+            [
+                (HY * HZ / HX).reshape(-1),
+                (HX * HZ / HY).reshape(-1),
+                (HX * HY / HZ).reshape(-1),
+            ],
+            axis=-1,
+        )
+        return out
+
+    # ---------------------------------------------------------------- #
+    # general dense tables (both mesh kinds)
     # ---------------------------------------------------------------- #
     def jxw_full(self, dtype=np.float64) -> np.ndarray:
-        """``[n_cells, n_q]`` JxW table (constant-J mesh: identical rows)."""
-        row = (self.det_j * self.w3d.reshape(-1)).astype(dtype)
-        return np.broadcast_to(row, (self.mesh.n_cells, self.n_q)).copy()
+        """``[n_cells, n_q]`` JxW table."""
+        w = self.w3d.reshape(-1)
+        return (self.det_per_cell()[:, None] * w[None, :]).astype(dtype)
 
     def merged_coef_full(self, dtype=np.float64) -> np.ndarray:
-        """``[n_cells, n_q, 6]`` merged coefficient in (xx,xy,xz,yy,yz,zz)
-        order — what ``JacobianFunctor`` writes (``bp5/step-64.cu:98-113``)."""
-        n_q = self.n_q
-        coef = np.zeros((n_q, 6), dtype=dtype)
-        jxw = self.det_j * self.w3d.reshape(-1)
-        coef[:, 0] = jxw * self.inv_h2[0]
-        coef[:, 3] = jxw * self.inv_h2[1]
-        coef[:, 5] = jxw * self.inv_h2[2]
-        return np.broadcast_to(coef, (self.mesh.n_cells, n_q, 6)).copy()
+        """``[n_cells, n_q, 6]`` merged coefficient, symmetric order
+        (xx,xy,xz,yy,yz,zz) — what ``JacobianFunctor`` writes
+        (``bp5/step-64.cu:98-113``). Diagonal here (axis-aligned cells)."""
+        w = self.w3d.reshape(-1)
+        md = self.merged_diag_per_cell()  # [E, 3]
+        coef = np.zeros((self.mesh.n_cells, self.n_q, 6), dtype=dtype)
+        coef[:, :, 0] = md[:, 0:1] * w[None, :]
+        coef[:, :, 3] = md[:, 1:2] * w[None, :]
+        coef[:, :, 5] = md[:, 2:3] * w[None, :]
+        return coef
 
     def inv_jacobian_full(self, dtype=np.float64) -> np.ndarray:
-        """``[n_cells, n_q, 3, 3]`` inverse Jacobian (constant diagonal here)."""
-        inv = np.diag([1.0 / self.h[0], 1.0 / self.h[1], 1.0 / self.h[2]]).astype(dtype)
-        return np.broadcast_to(inv, (self.mesh.n_cells, self.n_q, 3, 3)).copy()
+        """``[n_cells, n_q, 3, 3]`` inverse Jacobian (diagonal)."""
+        hx, hy, hz = self.mesh.h_axes()
+        inv = np.zeros((self.mesh.n_cells, 3, 3), dtype=dtype)
+        HX = np.broadcast_to(hx[None, None, :], tuple(reversed(self.mesh.n_elements))).reshape(-1)
+        HY = np.broadcast_to(hy[None, :, None], tuple(reversed(self.mesh.n_elements))).reshape(-1)
+        HZ = np.broadcast_to(hz[:, None, None], tuple(reversed(self.mesh.n_elements))).reshape(-1)
+        inv[:, 0, 0] = 1.0 / HX
+        inv[:, 1, 1] = 1.0 / HY
+        inv[:, 2, 2] = 1.0 / HZ
+        return np.broadcast_to(inv[:, None, :, :], (self.mesh.n_cells, self.n_q, 3, 3)).copy()
 
-    # ---------------------------------------------------------------- #
-    # physical coordinates of quadrature points (evaluate_coefficients
-    # support: reference L-3, ``bp5/step-64.cu:256-258``)
-    # ---------------------------------------------------------------- #
     def q_points_phys(self) -> np.ndarray:
-        """``[n_cells, n_q, 3]`` physical quadrature-point coordinates,
-        cell order (ez,ey,ex) flattened, qpoint order (qz,qy,qx) flattened
-        with x fastest."""
+        """``[n_cells, n_q, 3]`` physical quadrature points, cell order
+        (ez,ey,ex) flattened, qpoint order (qz,qy,qx), x fastest."""
         mesh, basis = self.mesh, self.basis
         qp = basis.q_points
-        axes = []
-        for d in range(3):
-            m = mesh.n_elements[d]
-            hd = self.h[d]
-            axes.append(mesh.lower[d] + hd * (np.arange(m)[:, None] + qp[None, :]))
-        ax, ay, az = axes  # [m_d, n_q1]
+        edges = mesh.edges_1d()
+        haxes = mesh.h_axes()
+        axes = [
+            edges[d][:-1, None] + haxes[d][:, None] * qp[None, :] for d in range(3)
+        ]
+        ax, ay, az = axes  # [m_d, q1]
         mx, my, mz = mesh.n_elements
         q1 = basis.n_q
         X = np.zeros((mz, my, mx, q1, q1, q1, 3))

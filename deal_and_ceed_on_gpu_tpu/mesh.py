@@ -39,6 +39,38 @@ class BrickMesh:
     n_elements: tuple[int, int, int]  # (mx, my, mz)
     lower: tuple[float, float, float] = (0.0, 0.0, 0.0)
     upper: tuple[float, float, float] = (1.0, 1.0, 1.0)
+    # graded tensor-product meshes: per-axis element widths (len m_d).
+    # None = uniform. Tensor-product grading keeps the Kronecker fast path:
+    # every geometric factor separates per axis.
+    widths: tuple | None = None
+
+    def __post_init__(self):
+        if self.widths is not None:
+            w = tuple(np.asarray(a, dtype=np.float64) for a in self.widths)
+            for d in range(3):
+                assert w[d].shape == (self.n_elements[d],)
+                span = self.upper[d] - self.lower[d]
+                assert abs(w[d].sum() - span) < 1e-10 * max(abs(span), 1.0)
+                w[d].setflags(write=False)
+            object.__setattr__(self, "widths", w)
+
+    @property
+    def is_uniform(self) -> bool:
+        return self.widths is None
+
+    @staticmethod
+    def graded(breaks_x, breaks_y, breaks_z) -> "BrickMesh":
+        """Tensor-product mesh from per-axis breakpoint arrays (len m_d+1,
+        strictly increasing)."""
+        bks = [np.asarray(b, dtype=np.float64) for b in (breaks_x, breaks_y, breaks_z)]
+        for b in bks:
+            assert np.all(np.diff(b) > 0), "breakpoints must increase"
+        return BrickMesh(
+            tuple(b.size - 1 for b in bks),
+            tuple(float(b[0]) for b in bks),
+            tuple(float(b[-1]) for b in bks),
+            widths=tuple(np.diff(b) for b in bks),
+        )
 
     @staticmethod
     def subdivided_hyper_rectangle(
@@ -57,7 +89,12 @@ class BrickMesh:
 
     def refine_global(self, times: int = 1) -> "BrickMesh":
         f = 2**times
-        return BrickMesh(tuple(m * f for m in self.n_elements), self.lower, self.upper)
+        widths = None
+        if self.widths is not None:
+            widths = tuple(np.repeat(w / f, f) for w in self.widths)
+        return BrickMesh(
+            tuple(m * f for m in self.n_elements), self.lower, self.upper, widths
+        )
 
     @staticmethod
     def bp5_cycle(cycle: int) -> "BrickMesh":
@@ -88,9 +125,28 @@ class BrickMesh:
 
     @property
     def h(self) -> tuple[float, float, float]:
-        """Element extents per axis (uniform)."""
+        """Element extents per axis — uniform meshes only."""
+        if not self.is_uniform:
+            raise ValueError("graded mesh: use h_axes()")
         return tuple(
             (self.upper[d] - self.lower[d]) / self.n_elements[d] for d in range(3)
+        )
+
+    def h_axes(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Per-axis element width arrays (len m_d), uniform or graded."""
+        if self.widths is not None:
+            return self.widths
+        return tuple(
+            np.full(self.n_elements[d], (self.upper[d] - self.lower[d]) / self.n_elements[d])
+            for d in range(3)
+        )
+
+    def edges_1d(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Per-axis element edge coordinates (len m_d + 1)."""
+        hx, hy, hz = self.h_axes()
+        return tuple(
+            self.lower[d] + np.concatenate([[0.0], np.cumsum(w)])
+            for d, w in enumerate((hx, hy, hz))
         )
 
     # ------------------------------------------------------------------ #
@@ -108,14 +164,12 @@ class BrickMesh:
         """Physical coordinates of the global node lines per axis, given the
         (p+1) reference nodal points in [0,1] (GLL for FE_Q)."""
         out = []
+        edges = self.edges_1d()
+        haxes = self.h_axes()
         for d in range(3):
-            m = self.n_elements[d]
-            h = self.h[d]
-            # element e covers [lower + e*h, lower + (e+1)*h]; interior nodes
-            # are shared so keep unique lexicographic lines
-            lines = self.lower[d] + h * (
-                np.arange(m)[:, None] + nodes_1d[None, :]
-            )  # [m, p+1]
+            # element e covers [edge_e, edge_e + h_e]; interior nodes are
+            # shared so keep unique lexicographic lines
+            lines = edges[d][:-1, None] + haxes[d][:, None] * nodes_1d[None, :]
             uniq = np.concatenate([lines[:, :-1].reshape(-1), lines[-1:, -1]])
             out.append(uniq)
         return out

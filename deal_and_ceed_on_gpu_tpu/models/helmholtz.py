@@ -43,29 +43,36 @@ class HelmholtzOperator(MatrixFreeOperator):
         xq = geo.q_points_phys()  # [n_cells, n_q, 3]
         a_q = np.asarray(coefficient_fn(xq), dtype=np.float64)
         self._a_q_raw = a_q  # kept for compute_diagonal
-        # fold JxW into the value coefficient: a(x_q) * det(J) * w3d(q)
-        w3d = self.w3d_layout()
+        # fold JxW into the value coefficient: a(x_q) * JxW(e, q)
         self._coef_val = jnp.asarray(
-            self.to_layout(a_q * geo.det_j) * w3d, dtype=space.dtype
+            self.to_layout(a_q * geo.jxw_full()), dtype=space.dtype
         )
-        cdiag = geo.const_merged_diag
-        self._cdiag = tuple(jnp.asarray(c, dtype=space.dtype) for c in cdiag)
-        self._w3d = jnp.asarray(w3d, dtype=space.dtype)
+        if geo.uniform:
+            self._cdiag = tuple(
+                jnp.asarray(c, dtype=space.dtype) for c in geo.const_merged_diag
+            )
+            self._w3d = jnp.asarray(self.w3d_layout(), dtype=space.dtype)
+            self._coef_g = None
+        else:
+            # graded: per-element diagonal gradient coefficient
+            self._coef_g = jnp.asarray(
+                self.to_layout(geo.merged_coef_full()), dtype=space.dtype
+            )
 
     def compute_diagonal(self):
         from .operator_base import tensor_product_diagonal
 
         return tensor_product_diagonal(
-            self.space,
-            grad_cdiag=self.space.geometry.const_merged_diag,
-            value_q=self._a_q_raw,
+            self.space, gradient=True, value_q=self._a_q_raw
         )
 
     def quad_point_op(self, vals, grads):
         gx, gy, gz = grads
-        cx, cy, cz = self._cdiag
-        w = self._w3d
-        return (
-            vals * self._coef_val,
-            (gx * (cx * w), gy * (cy * w), gz * (cz * w)),
-        )
+        if self._coef_g is None:
+            cx, cy, cz = self._cdiag
+            w = self._w3d
+            flux = (gx * (cx * w), gy * (cy * w), gz * (cz * w))
+        else:
+            c = self._coef_g
+            flux = (c[..., 0] * gx, c[..., 3] * gy, c[..., 5] * gz)
+        return vals * self._coef_val, flux

@@ -28,7 +28,7 @@ class MassOperator(MatrixFreeOperator):
 
             self._sep_terms = mass_terms(space.mesh, space.basis, space.dtype)
             return
-        self._jxw = jnp.asarray(geo.det_j * self.w3d_layout(), dtype=space.dtype)
+        self._jxw = jnp.asarray(self.jxw_layout(), dtype=space.dtype)
 
     def quad_point_op(self, vals, grads):
         return vals * self._jxw, None

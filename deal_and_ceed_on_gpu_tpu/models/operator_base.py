@@ -86,6 +86,26 @@ class MatrixFreeOperator:
             return w.reshape(1, q, 1, q, 1, q)
         return w.reshape(1, q, q, q)
 
+    def jxw_layout(self) -> np.ndarray:
+        """JxW in the local layout: a tiny broadcastable array on uniform
+        meshes, per-element tensor factors on graded ones (still a
+        broadcastable outer product — never a full [E, n_q] table)."""
+        geo = self.space.geometry
+        w3 = self.w3d_layout()
+        if geo.uniform:
+            return geo.det_j * w3
+        hx, hy, hz = self.space.mesh.h_axes()
+        mx, my, mz = self.space.mesh.n_elements
+        if self.backend == "structured":
+            det = (
+                hz.reshape(mz, 1, 1, 1, 1, 1)
+                * hy.reshape(1, 1, my, 1, 1, 1)
+                * hx.reshape(1, 1, 1, 1, mx, 1)
+            )
+        else:
+            det = geo.det_per_cell().reshape(-1, 1, 1, 1)
+        return det * w3
+
     # ----------------------------- apply ------------------------------ #
     def gather(self, u_flat: jnp.ndarray) -> jnp.ndarray:
         s = self.space
@@ -161,16 +181,18 @@ class MatrixFreeOperator:
 
 def tensor_product_diagonal(
     space: FESpace,
-    grad_cdiag=None,
+    gradient: bool = False,
     value_q: Optional[np.ndarray] = None,
     value_const: Optional[float] = None,
 ) -> jnp.ndarray:
-    """diag(A) for constant-Jacobian tensor-product operators.
+    """diag(A) for diagonal-Jacobian tensor-product operators (uniform or
+    graded brick meshes).
 
     The per-element local diagonal separates into 1D quadrature sums:
-    ``diag_e[k,j,i] = sum_d c_d (m1 x m1 x k1)_d + det*(value part)`` with
-    ``m1_a = sum_q w_q S[q,a]^2`` and ``k1_a = sum_q w_q D[q,a]^2``; for a
-    varying value coefficient the per-axis contractions run over ``a_q``.
+    ``diag_e[k,j,i] = sum_d c_{d,e} (m1 x m1 x k1)_d + det_e*(value part)``
+    with ``m1_a = sum_q w_q S[q,a]^2``, ``k1_a = sum_q w_q D[q,a]^2`` and
+    ``c_{d,e}`` the per-element merged-coefficient diagonal; for a varying
+    value coefficient the per-axis contractions run over ``a_q``.
     Host-side numpy (setup cost), then one scatter-add.
     """
     basis, geo = space.basis, space.geometry
@@ -180,26 +202,30 @@ def tensor_product_diagonal(
     m1 = np.einsum("q,qa->a", w, S2)
     k1 = np.einsum("q,qa->a", w, D2)
     p1 = basis.n_dofs
-
-    local = np.zeros((p1, p1, p1))
-    if grad_cdiag is not None:
-        cx, cy, cz = grad_cdiag
-        local += cx * np.einsum("k,j,i->kji", m1, m1, k1)
-        local += cy * np.einsum("k,j,i->kji", m1, k1, m1)
-        local += cz * np.einsum("k,j,i->kji", k1, m1, m1)
-    if value_const is not None:
-        local += value_const * geo.det_j * np.einsum("k,j,i->kji", m1, m1, m1)
-
     n_cells = space.mesh.n_cells
+
+    local_e = np.zeros((n_cells, p1, p1, p1))
+    if gradient:
+        md = geo.merged_diag_per_cell()  # [E, 3] in (x, y, z) order
+        local_e += md[:, 0, None, None, None] * np.einsum(
+            "k,j,i->kji", m1, m1, k1
+        )
+        local_e += md[:, 1, None, None, None] * np.einsum(
+            "k,j,i->kji", m1, k1, m1
+        )
+        local_e += md[:, 2, None, None, None] * np.einsum(
+            "k,j,i->kji", k1, m1, m1
+        )
+    det_e = geo.det_per_cell()[:, None, None, None]
+    if value_const is not None:
+        local_e += value_const * det_e * np.einsum("k,j,i->kji", m1, m1, m1)
+
     if value_q is not None:
         q = basis.n_q
         aq = value_q.reshape(n_cells, q, q, q)
         t = np.einsum("ezyx,xi->ezyi", aq, w[:, None] * S2)
         t = np.einsum("ezyi,yj->ezji", t, w[:, None] * S2)
-        per_cell = geo.det_j * np.einsum("ezji,zk->ekji", t, w[:, None] * S2)
-        local_e = local[None] + per_cell
-    else:
-        local_e = np.broadcast_to(local, (n_cells, p1, p1, p1))
+        local_e = local_e + det_e * np.einsum("ezji,zk->ekji", t, w[:, None] * S2)
 
     dof_map = space.mesh.element_dof_map(space.degree)
     diag = np.zeros(space.n_dofs)
@@ -232,14 +258,10 @@ def assemble_rhs(
         xq = geo.q_points_phys()  # [n_cells, n_q, 3]
         f_q = np.asarray(f(xq), dtype=np.float64).reshape(space.mesh.n_cells, geo.n_q)
         integrand = jnp.asarray(
-            op.to_layout(f_q * geo.det_j)
-            * op.w3d_layout(),
-            dtype=space.dtype,
+            op.to_layout(f_q * geo.jxw_full()), dtype=space.dtype
         )
     else:
-        integrand = jnp.asarray(
-            float(f) * geo.det_j * op.w3d_layout(), dtype=space.dtype
-        )
+        integrand = jnp.asarray(float(f) * op.jxw_layout(), dtype=space.dtype)
         # broadcast to full local shape so integrate sees the right rank
         shape = _local_shape(space, backend)
         integrand = jnp.broadcast_to(integrand, shape)
@@ -274,5 +296,12 @@ def l2_norm_function(space: FESpace, u_flat: jnp.ndarray, n_q: int | None = None
     w3d = (w[:, None, None] * w[None, :, None] * w[None, None, :]).reshape(
         1, q, 1, q, 1, q
     )
-    jxw = jnp.asarray(space.geometry.det_j * w3d, dtype=space.dtype)
+    hx, hy, hz = space.mesh.h_axes()
+    mx, my, mz = space.mesh.n_elements
+    det = (
+        hz.reshape(mz, 1, 1, 1, 1, 1)
+        * hy.reshape(1, 1, my, 1, 1, 1)
+        * hx.reshape(1, 1, 1, 1, mx, 1)
+    )
+    jxw = jnp.asarray(det * w3d, dtype=space.dtype)
     return jnp.sqrt(jnp.sum(vals * vals * jxw))

@@ -46,8 +46,11 @@ class PoissonOperator(MatrixFreeOperator):
             )
             return
         super().__init__(space, backend)
-        self.coefficient = coefficient
         geo = space.geometry
+        if coefficient == "merged_const" and not geo.uniform:
+            # graded meshes: per-element coefficients (cell-loop backends)
+            coefficient = "merged_full"
+        self.coefficient = coefficient
         if backend == "separable":
             # Kronecker fast path (uniform mesh): see ops/separable.py
             from ..ops.separable import poisson_terms
@@ -92,9 +95,7 @@ class PoissonOperator(MatrixFreeOperator):
     def compute_diagonal(self):
         from .operator_base import tensor_product_diagonal
 
-        return tensor_product_diagonal(
-            self.space, grad_cdiag=self.space.geometry.const_merged_diag
-        )
+        return tensor_product_diagonal(self.space, gradient=True)
 
     def quad_point_op(self, vals, grads):
         gx, gy, gz = grads

@@ -62,6 +62,7 @@ class StencilLayout:
         from .separable import _bands_from_dense, band_matrix_1d, diag_vector_1d
 
         assert basis.collocation, "stencil kernel requires GLL collocation"
+        assert mesh.is_uniform, "stencil kernel: uniform meshes only (use separable)"
         p = basis.degree
         assert p <= YOFF, f"y halo fixed at {YOFF}, degree {p} too high"
         self.p = p

@@ -44,25 +44,28 @@ __all__ = [
 ]
 
 
-def band_matrix_1d(m: int, p: int, elem_mat: np.ndarray) -> np.ndarray:
-    """Assemble the global 1D operator ``Z^T E Z`` for ``m`` elements of
-    degree p from the (p+1)x(p+1) element matrix E: dense ``[n1, n1]`` with
-    n1 = m*p+1 (banded, half-bandwidth p)."""
+def band_matrix_1d(m: int, p: int, elem_mat: np.ndarray, scale=None) -> np.ndarray:
+    """Assemble the global 1D operator ``Z^T diag(scale) E Z`` for ``m``
+    elements of degree p from the (p+1)x(p+1) element matrix E: dense
+    ``[n1, n1]`` with n1 = m*p+1 (banded, half-bandwidth p). ``scale``:
+    optional per-element factor (graded tensor meshes)."""
     n1 = m * p + 1
     A = np.zeros((n1, n1))
     for e in range(m):
         s = e * p
-        A[s : s + p + 1, s : s + p + 1] += elem_mat
+        c = 1.0 if scale is None else float(scale[e])
+        A[s : s + p + 1, s : s + p + 1] += c * elem_mat
     return A
 
 
-def diag_vector_1d(m: int, p: int, w: np.ndarray) -> np.ndarray:
-    """Assemble the global diagonal ``Z^T diag(w) Z``: shared nodes sum the
-    weights of both adjacent elements."""
+def diag_vector_1d(m: int, p: int, w: np.ndarray, scale=None) -> np.ndarray:
+    """Assemble the global diagonal ``Z^T diag(scale_e * w) Z``: shared
+    nodes sum the weights of both adjacent elements."""
     n1 = m * p + 1
     d = np.zeros(n1)
     for e in range(m):
-        d[e * p : e * p + p + 1] += w
+        c = 1.0 if scale is None else float(scale[e])
+        d[e * p : e * p + p + 1] += c * w
     return d
 
 
@@ -145,21 +148,30 @@ def _bands_from_dense(A: np.ndarray, p: int) -> np.ndarray:
 
 
 def _axis_tables(mesh, basis):
-    """Per grid axis (0=z, 1=y, 2=x): element counts and the assembled
-    global 1D stiffness (A1), value (B), and diagonal-weight tables."""
+    """Per grid axis (0=z, 1=y, 2=x): the assembled global 1D tables with
+    ALL geometric scaling absorbed per axis (so the Kronecker terms carry
+    coefficient 1.0; this is what keeps graded tensor meshes on the fast
+    path):
+
+      A1 = Z^T diag(1/h_e) K Z   (stiffness factor: d/dx on the unit cell
+                                  scaled by the per-element inverse width)
+      B  = Z^T diag(h_e)  M  Z   (value factor, Gauss rules)
+      d  = Z^T diag(h_e * w) Z   (pointwise weights, GLL collocation)
+    """
     p = basis.degree
     S, D, w = basis.S, basis.D, basis.q_weights
     K_e = np.einsum("q,qa,qb->ab", w, D, D)
     B_e = np.einsum("q,qa,qb->ab", w, S, S)
+    hx, hy, hz = mesh.h_axes()
     mx, my, mz = mesh.n_elements
-    m_by_axis = {0: mz, 1: my, 2: mx}
+    axis_data = {0: (mz, hz), 1: (my, hy), 2: (mx, hx)}
     out = {}
-    for ax, m in m_by_axis.items():
+    for ax, (m, h) in axis_data.items():
         out[ax] = {
-            "A1": band_matrix_1d(m, p, K_e),
-            "B": band_matrix_1d(m, p, B_e),
+            "A1": band_matrix_1d(m, p, K_e, scale=1.0 / h),
+            "B": band_matrix_1d(m, p, B_e, scale=h),
             # pointwise weights only exist at collocation (q == p+1, GLL)
-            "d": diag_vector_1d(m, p, w) if basis.collocation else None,
+            "d": diag_vector_1d(m, p, w, scale=h) if basis.collocation else None,
         }
     return out
 
@@ -171,12 +183,10 @@ def _bshape(vec: np.ndarray, axis: int) -> np.ndarray:
 
 
 def poisson_terms(mesh, basis: Basis1D, dtype) -> list[dict]:
-    """BP5/BP3 stiffness on a uniform brick: 3 Kronecker terms."""
+    """BP5/BP3 stiffness on a (uniform or graded) tensor brick: 3
+    Kronecker terms, geometry absorbed into the per-axis tables."""
     p = basis.degree
     tabs = _axis_tables(mesh, basis)
-    hx, hy, hz = mesh.h
-    det = hx * hy * hz
-    coef = {0: det / hz**2, 1: det / hy**2, 2: det / hx**2}
     terms = []
     for ax in (2, 1, 0):
         others = [a for a in (0, 1, 2) if a != ax]
@@ -194,28 +204,27 @@ def poisson_terms(mesh, basis: Basis1D, dtype) -> list[dict]:
                     (a, jnp.asarray(B, dtype), jnp.asarray(_bands_from_dense(B, p), dtype), p)
                 )
             diag = None
-        terms.append({"coef": coef[ax], "band": band, "diag": diag})
+        terms.append({"coef": 1.0, "band": band, "diag": diag})
     return terms
 
 
 def mass_terms(mesh, basis: Basis1D, dtype) -> list[dict]:
-    """BP1 mass on a uniform brick: one Kronecker term (fully diagonal at
-    GLL collocation -- the classic lumped spectral-element mass)."""
+    """BP1 mass on a (uniform or graded) tensor brick: one Kronecker term
+    (fully diagonal at GLL collocation -- the classic lumped
+    spectral-element mass)."""
     p = basis.degree
     tabs = _axis_tables(mesh, basis)
-    hx, hy, hz = mesh.h
-    det = hx * hy * hz
     if basis.collocation:
         diag = (
             _bshape(tabs[0]["d"], 0)
             * _bshape(tabs[1]["d"], 1)
             * _bshape(tabs[2]["d"], 2)
         )
-        return [{"coef": det, "band": [], "diag": jnp.asarray(diag, dtype)}]
+        return [{"coef": 1.0, "band": [], "diag": jnp.asarray(diag, dtype)}]
     band = []
     for a in (0, 1, 2):
         B = tabs[a]["B"]
         band.append(
             (a, jnp.asarray(B, dtype), jnp.asarray(_bands_from_dense(B, p), dtype), p)
         )
-    return [{"coef": det, "band": band, "diag": None}]
+    return [{"coef": 1.0, "band": band, "diag": None}]

@@ -36,6 +36,7 @@ def element_matrix(
     kind: str,
     cell_qpoints: Optional[np.ndarray] = None,
     coefficient_fn: Optional[Callable] = None,
+    h_cell=None,
 ) -> np.ndarray:
     """Per-element matrix ``[(p+1)^3, (p+1)^3]`` (local lexicographic
     z,y,x order, x fastest) using the basis's quadrature rule.
@@ -43,8 +44,9 @@ def element_matrix(
     kind: "stiffness" | "mass" | "helmholtz" (stiffness + a(x) mass).
     For "helmholtz", ``cell_qpoints [n_q, 3]`` gives physical quadrature
     points of the specific cell (the matrix is then cell-dependent).
+    ``h_cell``: (hx, hy, hz) of the specific cell (graded meshes).
     """
-    hx, hy, hz = mesh.h
+    hx, hy, hz = h_cell if h_cell is not None else mesh.h
     det = hx * hy * hz
     S, D, w = basis.S, basis.D, basis.q_weights
     # 1D quadrature-evaluated matrices on [0,1]
@@ -82,11 +84,16 @@ def assemble_sparse(
     rows, cols, vals = [], [], []
     if kind == "helmholtz":
         qpts = Geometry.from_mesh(mesh, basis).q_points_phys()  # [E, n_q, 3]
+    hx, hy, hz = mesh.h_axes()
+    mx, my, mz = mesh.n_elements
     for e in range(mesh.n_cells):
+        ez, rem = divmod(e, my * mx)
+        ey, ex = divmod(rem, mx)
+        h_cell = (hx[ex], hy[ey], hz[ez])
         if kind == "helmholtz":
-            Ae = element_matrix(mesh, basis, kind, qpts[e], coefficient_fn)
+            Ae = element_matrix(mesh, basis, kind, qpts[e], coefficient_fn, h_cell)
         else:
-            Ae = element_matrix(mesh, basis, kind)
+            Ae = element_matrix(mesh, basis, kind, h_cell=h_cell)
         idx = dof_map[e]
         rows.append(np.repeat(idx, idx.size))
         cols.append(np.tile(idx, idx.size))
