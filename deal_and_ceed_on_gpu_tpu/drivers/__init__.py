@@ -1,3 +1,3 @@
-from . import bp5, step64
+from . import bp, bp5, step64
 
-__all__ = ["bp5", "step64"]
+__all__ = ["bp", "bp5", "step64"]
