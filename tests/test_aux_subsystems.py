@@ -43,6 +43,9 @@ def test_step64_driver_golden(tmp_path):
     )
     assert r1["n_iterations"] == r2["n_iterations"]
     np.testing.assert_allclose(r1["l2_norm"], r2["l2_norm"], rtol=1e-10)
+    # golden values (f64, CPU): regression fingerprints of the whole stack
+    assert r1["n_iterations"] == 60
+    np.testing.assert_allclose(r1["l2_norm"], 0.020526851356887806, rtol=1e-9)
     # golden: stable fingerprints of the discretization
     assert (tmp_path / "sol.vtr").exists()
     gather = step64.run(n_refine=2, degree=3, dtype="float64", backend="gather")
