@@ -6,6 +6,7 @@ from .control import (
 )
 from .cg import solve_cg
 from .cg_merged import solve_cg_merged
+from .fdm import FDMSolver
 
 __all__ = [
     "SolverControl",
@@ -14,4 +15,5 @@ __all__ = [
     "NoConvergence",
     "solve_cg",
     "solve_cg_merged",
+    "FDMSolver",
 ]

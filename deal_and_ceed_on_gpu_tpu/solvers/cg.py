@@ -50,6 +50,7 @@ def solve_cg(
 
     if diag is None:
         diag = jnp.ones_like(b)
+    precond = diag if callable(diag) else (lambda r: diag * r)
 
     if x0 is None:
         x = jnp.zeros_like(b)
@@ -59,7 +60,7 @@ def solve_cg(
         r = b - A(x0)
 
     res0 = jnp.sqrt(dot(r, r))
-    z = diag * r
+    z = precond(r)
     d = z
     rz = dot(r, z)
 
@@ -74,7 +75,7 @@ def solve_cg(
         alpha = jnp.where(dh != 0.0, rz / jnp.where(dh != 0.0, dh, 1.0), 0.0).astype(dt)
         x = x + alpha * d
         r = r - alpha * h
-        z = diag * r
+        z = precond(r)
         rz_new = dot(r, z)
         beta = jnp.where(rz != 0.0, rz_new / jnp.where(rz != 0.0, rz, 1.0), 0.0).astype(dt)
         d = z + beta * d

@@ -1,0 +1,100 @@
+"""Fast-diagonalization (FDM) tensor solver / preconditioner.
+
+Goes beyond the reference (which preconditions with the identity,
+``bp5/step-64.cu:428-432``): on tensor-product brick meshes the constrained
+Poisson operator restricted to the interior separates as
+
+    A_int = Dz (x) Dy (x) A1x + Dz (x) A1y (x) Dx + A1z (x) Dy (x) Dx
+
+(the Kronecker form of ops/separable.py, interior rows/cols). With the
+per-axis generalized eigenproblems ``A1 V = D V Lambda`` (normalized
+``V^T D V = I``; tiny host-side scipy solves) the exact inverse is
+
+    A_int^{-1} = (Vz (x) Vy (x) Vx) diag(1/(lx+ly+lz)) (Vz^T (x) Vy^T (x) Vx^T)
+
+i.e. six dense 1D sweeps + one diagonal scale — about the cost of TWO
+operator applies, replacing an entire CG solve (the classical
+Lynch-Rice-Thomas fast Poisson method, the standard p-FEM preconditioner).
+
+Uses:
+- :class:`FDMSolver` — exact direct solve of the BP5 system (one apply);
+- preconditioner for :func:`solvers.cg.solve_cg` (pass ``diag=fdm.apply``)
+  on variable-coefficient systems (step-64 Helmholtz), where it clusters
+  the spectrum and cuts iteration counts by an order of magnitude.
+
+Works for uniform and graded tensor meshes (geometry is absorbed in the
+assembled 1D tables). Requires the full-Dirichlet brick (interior = tensor
+product of interior 1D node sets).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.linalg
+
+from ..fe_space import FESpace
+from ..ops.separable import _axis_tables
+from ..ops.sum_factorization import sweep
+
+__all__ = ["FDMSolver"]
+
+
+class FDMSolver:
+    def __init__(self, space: FESpace):
+        if not space.basis.collocation:
+            # Gauss rules: value factors are banded (B), not diagonal; the
+            # generalized eigenproblem is then A1 V = B V Lambda — same code
+            raise NotImplementedError(
+                "FDM currently implemented for GLL collocation (BP5/BP6); "
+                "Gauss rules need the banded-B generalized eigenproblem"
+            )
+        self.space = space
+        tabs = _axis_tables(space.mesh, space.basis)
+        evecs, evals = [], []
+        for ax in (0, 1, 2):  # z, y, x grid axes
+            A1 = tabs[ax]["A1"][1:-1, 1:-1]  # interior block
+            d = tabs[ax]["d"][1:-1]
+            lam, V = scipy.linalg.eigh(A1, np.diag(d))  # V^T diag(d) V = I
+            evals.append(lam)
+            evecs.append(V)
+        lz, ly, lx = evals
+        inv = 1.0 / (
+            lz[:, None, None] + ly[None, :, None] + lx[None, None, :]
+        )
+        dt = space.dtype
+        self._inv = jnp.asarray(inv, dt)
+        self._V = tuple(jnp.asarray(V, dt) for V in evecs)  # (Vz, Vy, Vx)
+        nz, ny, nx = space.grid_shape
+        self._ishape = (nz - 2, ny - 2, nx - 2)
+
+    def apply_interior(self, r_int: jnp.ndarray) -> jnp.ndarray:
+        """A_int^{-1} r on the interior grid ``[nz-2, ny-2, nx-2]``."""
+        Vz, Vy, Vx = self._V
+        # forward: multiply by V^T along each axis (sweep contracts with
+        # mat[q, a]: rows index the output -> pass V transposed)
+        t = sweep(r_int, Vz.T, 0)
+        t = sweep(t, Vy.T, 1)
+        t = sweep(t, Vx.T, 2)
+        t = t * self._inv
+        t = sweep(t, Vz, 0)
+        t = sweep(t, Vy, 1)
+        t = sweep(t, Vx, 2)
+        return t
+
+    def apply(self, r: jnp.ndarray) -> jnp.ndarray:
+        """Preconditioner action on a full flat vector: FDM on the interior,
+        identity on constrained rows (matches the operator's constrained
+        structure, so it is SPD on the full space)."""
+        s = self.space
+        r3 = r.reshape(s.grid_shape)
+        x_int = self.apply_interior(r3[1:-1, 1:-1, 1:-1])
+        out = jnp.zeros_like(r3).at[1:-1, 1:-1, 1:-1].set(x_int)
+        mask3 = s.dirichlet_mask.reshape(s.grid_shape)
+        return jnp.where(mask3, r3, out).reshape(-1)
+
+    def solve(self, b: jnp.ndarray) -> jnp.ndarray:
+        """Exact direct solve of the constrained Poisson system (one
+        FDM apply — the 'solved in 1 iteration' path)."""
+        return self.apply(b)
