@@ -129,6 +129,30 @@ def run_cycle(cycle: int, cfg: BP5Config):
         )
         solution = x
 
+    if "fdm-direct" in cfg.modes:
+        # beyond the reference: the Kronecker fast-diagonalization DIRECT
+        # solve (solvers/fdm.py) — one apply replaces the whole CG loop.
+        # Throughput line counts the equivalent work as 1 "iteration".
+        from ..solvers import FDMSolver
+
+        fdm = FDMSolver(space)
+        f = jax.jit(fdm.solve)
+        x = jax.block_until_ready(f(b))
+        times = []
+        for _ in range(cfg.n_repetitions):
+            t = Timer().start()
+            x = f(b)
+            t.stop(fence=x)
+            times.append(t.elapsed)
+        rel = float(jnp.linalg.norm(b - op.vmult(x)) / jnp.linalg.norm(b))
+        for t in times:
+            pcout(f"   FDM direct solve in time {t:.6f} (rel res {rel:.2e})")
+        best = min(times)
+        pcout(f"fdm-direct {space.n_dofs} {space.n_dofs / best:.6g}")
+        pcout("")
+        results["fdm-direct"] = space.n_dofs / best
+        solution = x
+
     if "vmult" in cfg.modes:
         lam = estimate_lambda_max(op, space.n_dofs)
         scale = jnp.asarray(1.0 / lam, dtype=dtype)

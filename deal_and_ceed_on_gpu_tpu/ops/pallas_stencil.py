@@ -58,7 +58,7 @@ def _round_up(x, m):
 class StencilLayout:
     """Padded vector layout + band tables for one (mesh, basis, blocking)."""
 
-    def __init__(self, mesh, basis, dtype, block_z=8, block_y=None, vmem_budget=2 * 2**20):
+    def __init__(self, mesh, basis, dtype, block_z=8, block_y=32, vmem_budget=2 * 2**20):
         from .separable import _bands_from_dense, band_matrix_1d, diag_vector_1d
 
         assert basis.collocation, "stencil kernel requires GLL collocation"
@@ -291,17 +291,19 @@ def _kernel(
     )
     obuf[...] += ((cy * dz_b * dx_b) * jnp.swapaxes(ty, 1, 2)).astype(obuf.dtype)
 
-    # x term (VPU): 2p+1 lane-rotated taps via a fori_loop so Mosaic reuses
-    # one body buffer. roll(c, p-t)[x] = c[x - p + t] = u[x + k] for
-    # k = t - p; wrapped lanes are killed by the zero band entries
-    # (bx[., x] = 0 whenever tap x+k falls outside the real domain).
+    # x term (VPU): 2p+1 lane-rotated taps, STATIC shifts (one cheap lane
+    # rotate each; a dynamic-shift roll lowers to ~log2(nx) select stages
+    # and dominated the kernel). roll(c, p-t)[x] = u[x + (t-p)]; wrapped
+    # lanes are killed by the zero band entries (bx[., x] = 0 whenever tap
+    # x+k falls outside the real domain). Accumulate into the VMEM tile so
+    # only one tap transient is live.
     c_tile = win[p : p + BZ, YOFF : YOFF + BY, :]
-
-    def x_tap(t, acc):
-        return acc + pltpu.roll(c_tile, p - t, 2) * bx_ref[t]
-
-    tx = jax.lax.fori_loop(0, 2 * p + 1, x_tap, jnp.zeros_like(c_tile))
-    obuf[...] += ((cx * dz_b * dy_b) * tx).astype(obuf.dtype)
+    cxb = cx * dz_b * dy_b
+    for t in range(2 * p + 1):
+        shift = (p - t) % nxp  # pltpu.roll requires non-negative shifts
+        obuf[...] += (cxb * (pltpu.roll(c_tile, shift, 2) * bx_ref[t])).astype(
+            obuf.dtype
+        )
     cp_out = pltpu.make_async_copy(
         obuf,
         out_hbm.at[pl.ds(i * BZ + p, BZ), pl.ds(j * BY + YOFF, BY), :],
@@ -349,7 +351,7 @@ def _stencil_call(u, bz, by, bx, dz, dy, dx, *, layout: StencilLayout, interpret
 class build_stencil_operator:
     """Callable: flat padded u -> flat padded A_cell_loop(u)."""
 
-    def __init__(self, mesh, basis, dtype, block_z=8, block_y=None, interpret=False):
+    def __init__(self, mesh, basis, dtype, block_z=8, block_y=32, interpret=False):
         self.layout = StencilLayout(mesh, basis, dtype, block_z, block_y)
         self.interpret = interpret
 
