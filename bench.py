@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """Benchmark entry point for the driver: BP5 operator-apply throughput.
 
-Uses the separable (Kronecker) backend — the uniform-mesh fast path
-(ops/separable.py).
+Uses the fused Pallas stencil kernel on the padded vector layout
+(ops/pallas_stencil.py) — the fastest operator path; the jnp separable
+backend is the fallback.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Headline = BP5 vmult throughput (GDoF/s/chip) at p=5, the reference's hot
@@ -32,22 +33,23 @@ BASELINE_GDOFS = 1.0  # BASELINE.json north-star: >= 1 GDoF/s/chip
 def main():
     mesh = BrickMesh.bp5_cycle(CYCLE)
     space = FESpace.create(mesh, DEGREE, rule="gauss_lobatto", dtype=jnp.dtype(DTYPE))
-    op = PoissonOperator(space, backend="separable")
+    op = PoissonOperator(space, backend="pallas")
     n = space.n_dofs
 
     rng = np.random.default_rng(0)
-    u = jnp.asarray(rng.standard_normal(n), dtype=space.dtype)
-    u = u / jnp.linalg.norm(u)
+    u0 = jnp.asarray(rng.standard_normal(n), dtype=space.dtype)
+    u = op.layout.pad_flat(u0 / jnp.linalg.norm(u0))
 
     # scale to keep the chained applies bounded
-    v = op.vmult(u)
-    lam = float(jnp.linalg.norm(jax.block_until_ready(v)))
+    vmult = jax.jit(op.vmult_padded)
+    v = jax.block_until_ready(vmult(u))
+    lam = float(jnp.linalg.norm(v))
     scale = jnp.asarray(1.0 / max(lam, 1.0), dtype=space.dtype)
 
     @jax.jit
     def chain(u):
         def body(i, v):
-            return op.vmult(v) * scale
+            return vmult(v) * scale
 
         return jax.lax.fori_loop(0, N_APPLIES, body, u)
 

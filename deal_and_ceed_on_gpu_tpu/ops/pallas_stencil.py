@@ -102,53 +102,20 @@ class StencilLayout:
             d[off : off + n_real] = diag_vector_1d(m, p, w)
             return b, d
 
-        _, dx = axis(mx, nx, 0, nxp)
-        _, dy = axis(my, ny, YOFF, yt)
-        _, dz = axis(mz, nz, 0, self.nzb * BZ)  # tile coords (real z = row)
-
-        # Per-tile dense band matrices: each axis stencil becomes one small
-        # MXU matmul against the window (no shifted slices -> no vector
-        # relayouts). A1 entries outside the real domain are zero, so dead
-        # rows/halos contribute nothing.
-        def dense_axis(m, n_real):
-            return band_matrix_1d(m, p, K_e)  # [n_real, n_real]
-
-        A1x = dense_axis(mx, nx)
-        A1y = dense_axis(my, ny)
-        A1z = dense_axis(mz, nz)
-
-        def take(A, r0, nr, c0, nc):
-            """A[r0:r0+nr, c0:c0+nc] with zero fill outside [0,n)^2."""
-            out = np.zeros((nr, nc))
-            rlo, rhi = max(0, -r0), min(nr, A.shape[0] - r0)
-            clo, chi = max(0, -c0), min(nc, A.shape[1] - c0)
-            if rlo < rhi and clo < chi:
-                out[rlo:rhi, clo:chi] = A[r0 + rlo : r0 + rhi, c0 + clo : c0 + chi]
-            return out
-
-        WZ, WY = BZ + 2 * p, BY + 2 * YOFF
-        # out real z = i*BZ + r; window col c <-> real z = i*BZ + c - p
-        Bz_t = np.stack(
-            [take(A1z, i * BZ, BZ, i * BZ - p, WZ) for i in range(self.nzb)]
-        )
-        # out real y = j*BY + r; window col c <-> real y = j*BY + c - YOFF
-        By_t = np.stack(
-            [take(A1y, j * BY, BY, j * BY - YOFF, WY) for j in range(self.nyb)]
-        )
-        # x stays in band (tap) form: lane shifts are cheap on the VPU and
-        # a dense [nxp, nxp] matmul would dominate the FLOP count
-        bx_bands = np.zeros((2 * p + 1, nxp))
-        bx_bands[:, :nx] = _bands_from_dense(A1x, p)
+        bx_b, dx = axis(mx, nx, 0, nxp)
+        by_b, dy = axis(my, ny, YOFF, yt)
+        bz_b, dz = axis(mz, nz, 0, self.nzb * BZ)  # tile coords (real z = row)
 
         hx, hy, hz = mesh.h
         det = hx * hy * hz
         self.coef = (det / hx**2, det / hy**2, det / hz**2)
         dt = self.dtype
-        self.bz = jnp.asarray(Bz_t, dt)  # [nzb, BZ, WZ]
-        self.by = jnp.asarray(By_t, dt)  # [nyb, BY, WY]
-        # leading singleton so dynamic tap indexing hits the unconstrained
-        # leading dim: bx[t] -> [1, nxp]
-        self.bx = jnp.asarray(bx_bands[:, None, :], dt)  # [2p+1, 1, nxp]
+        # Band-table layouts (see _kernel): z sliced on sublanes in tile
+        # coords; y indexed by static tap row then dynamically sliced on
+        # sublanes; x rows are lane vectors behind a leading singleton.
+        self.bz = jnp.asarray(bz_b.T, dt)  # [nzb*BZ, 2p+1]
+        self.by = jnp.asarray(by_b[:, :, None], dt)  # [2p+1, yt, 1]
+        self.bx = jnp.asarray(bx_b[:, None, :], dt)  # [2p+1, 1, nxp]
         self.dz = jnp.asarray(dz[:, None], dt)  # [nzb*BZ, 1]
         self.dy = jnp.asarray(dy[:, None], dt)  # [yt, 1]
         self.dx = jnp.asarray(dx[None, :], dt)  # [1, nxp]
@@ -259,49 +226,47 @@ def _kernel(
     dma_for(s, slot).wait()
     win = win.at[slot]
 
-    dz_s = dz_ref[pl.ds(i * BZ, BZ), :]  # [BZ, 1] (tile coords)
-    dy_s = dy_ref[pl.ds(j * BY + YOFF, BY), :]  # [BY, 1]
-    dx_v = dx_ref[...]  # [1, nxp]
-    Bz_i = bz_ref[i]  # [BZ, WZ]
-    By_j = by_ref[j]  # [BY, WY]
+    dz_b = dz_ref[pl.ds(i * BZ, BZ), :][:, :, None]  # [BZ,1,1] (tile coords)
+    dy_b = dy_ref[pl.ds(j * BY + YOFF, BY), :][None, :, :]  # [1,BY,1]
+    dx_b = dx_ref[...][None, :, :]  # [1,1,nxp]
+    bz_s = bz_ref[pl.ds(i * BZ, BZ), :]  # [BZ, 2p+1] (tile coords)
 
-    dz_b = dz_s[:, :, None]  # [BZ,1,1]
-    dy_b = dy_s[None, :, :]  # [1,BY,1]
-    dx_b = dx_v[None, :, :]  # [1,1,nxp]
+    # All three axis stencils run as taps on the VPU, accumulated straight
+    # into the VMEM-resident output tile (at most one tap transient live —
+    # Mosaic's scoped-VMEM accounting is the binding constraint). Per-tile
+    # MXU matmuls were tried and lose: [BZ, WZ]-sized operands leave the
+    # 128x128 systolic array ~1% utilized and the y-result needs a swap.
+    czz = cz * dy_b * dx_b
+    cyy = cy * dz_b * dx_b
+    cxx = cx * dz_b * dy_b
 
-    hp = jax.lax.Precision.HIGHEST
-    acc_t = win.dtype
+    # z taps: leading-dim window slices (free), band columns per tile row
+    obuf[...] = (
+        czz * (win[0:BZ, YOFF : YOFF + BY, :] * bz_s[:, 0][:, None, None])
+    ).astype(obuf.dtype)
+    for k in range(1, 2 * p + 1):
+        obuf[...] += (
+            czz * (win[k : k + BZ, YOFF : YOFF + BY, :] * bz_s[:, k][:, None, None])
+        ).astype(obuf.dtype)
 
-    # One small MXU matmul per axis (dot_general orders: batch, lhs-free,
-    # rhs-free — chosen so no result transposes are needed for x and z).
-    # Terms are accumulated into the VMEM-resident output tile one at a
-    # time so at most one term transient is live (VMEM is the limit).
+    # y taps: static sublane-shifted window slices; tap k reads window rows
+    # (YOFF - p + k + yy) [out row yy sits at window row YOFF + yy]; band
+    # rows at padded coords (by_ref is [2p+1, yt, 1])
+    for k in range(2 * p + 1):
+        o = YOFF - p + k
+        t = win[p : p + BZ, o : o + BY, :] * by_ref[k, pl.ds(j * BY + YOFF, BY), :][
+            None, :, :
+        ]
+        obuf[...] += (cyy * t).astype(obuf.dtype)
 
-    # z term (MXU): Bz_i [BZ, WZ] x win[:, c, :] [WZ, BY, nxp]
-    tz = jax.lax.dot_general(
-        Bz_i, win[:, YOFF : YOFF + BY, :], (((1,), (0,)), ((), ())),
-        precision=hp, preferred_element_type=acc_t,
-    )
-    obuf[...] = ((cz * dy_b * dx_b) * tz).astype(obuf.dtype)
-
-    # y term (MXU): win[c] [BZ, WY, nxp] x By_j [BY, WY] -> swap last two
-    ty = jax.lax.dot_general(
-        win[p : p + BZ, :, :], By_j, (((1,), (1,)), ((), ())),
-        precision=hp, preferred_element_type=acc_t,
-    )
-    obuf[...] += ((cy * dz_b * dx_b) * jnp.swapaxes(ty, 1, 2)).astype(obuf.dtype)
-
-    # x term (VPU): 2p+1 lane-rotated taps, STATIC shifts (one cheap lane
-    # rotate each; a dynamic-shift roll lowers to ~log2(nx) select stages
-    # and dominated the kernel). roll(c, p-t)[x] = u[x + (t-p)]; wrapped
-    # lanes are killed by the zero band entries (bx[., x] = 0 whenever tap
-    # x+k falls outside the real domain). Accumulate into the VMEM tile so
-    # only one tap transient is live.
+    # x taps: STATIC lane rotates (a dynamic-shift roll lowers to
+    # ~log2(nx) select stages and dominated the kernel). roll by (p-t)
+    # puts u[x + (t-p)] at x; wrapped lanes are killed by the zero band
+    # entries (bx[., x] = 0 whenever tap x+k falls outside the domain).
     c_tile = win[p : p + BZ, YOFF : YOFF + BY, :]
-    cxb = cx * dz_b * dy_b
     for t in range(2 * p + 1):
         shift = (p - t) % nxp  # pltpu.roll requires non-negative shifts
-        obuf[...] += (cxb * (pltpu.roll(c_tile, shift, 2) * bx_ref[t])).astype(
+        obuf[...] += (cxx * (pltpu.roll(c_tile, shift, 2) * bx_ref[t])).astype(
             obuf.dtype
         )
     cp_out = pltpu.make_async_copy(
