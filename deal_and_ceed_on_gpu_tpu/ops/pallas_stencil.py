@@ -231,44 +231,46 @@ def _kernel(
     dx_b = dx_ref[...][None, :, :]  # [1,1,nxp]
     bz_s = bz_ref[pl.ds(i * BZ, BZ), :]  # [BZ, 2p+1] (tile coords)
 
-    # All three axis stencils run as taps on the VPU, accumulated straight
-    # into the VMEM-resident output tile (at most one tap transient live —
-    # Mosaic's scoped-VMEM accounting is the binding constraint). Per-tile
-    # MXU matmuls were tried and lose: [BZ, WZ]-sized operands leave the
-    # 128x128 systolic array ~1% utilized and the y-result needs a swap.
+    # All three axis stencils run as taps on the VPU; each axis accumulates
+    # in a register/VMEM value and lands in the output tile with one write
+    # (one live accumulator + one tap transient — fits Mosaic's
+    # conservative scoped-VMEM accounting and avoids 33 read-modify-writes
+    # of the tile). Per-tile MXU matmuls were tried and lose: [BZ, WZ]-
+    # sized operands leave the 128x128 systolic array ~1% utilized and the
+    # y-result needs a swap.
     czz = cz * dy_b * dx_b
     cyy = cy * dz_b * dx_b
     cxx = cx * dz_b * dy_b
 
     # z taps: leading-dim window slices (free), band columns per tile row
-    obuf[...] = (
-        czz * (win[0:BZ, YOFF : YOFF + BY, :] * bz_s[:, 0][:, None, None])
-    ).astype(obuf.dtype)
+    acc = win[0:BZ, YOFF : YOFF + BY, :] * bz_s[:, 0][:, None, None]
     for k in range(1, 2 * p + 1):
-        obuf[...] += (
-            czz * (win[k : k + BZ, YOFF : YOFF + BY, :] * bz_s[:, k][:, None, None])
-        ).astype(obuf.dtype)
+        acc = acc + win[k : k + BZ, YOFF : YOFF + BY, :] * bz_s[:, k][:, None, None]
+    obuf[...] = (czz * acc).astype(obuf.dtype)
 
     # y taps: static sublane-shifted window slices; tap k reads window rows
     # (YOFF - p + k + yy) [out row yy sits at window row YOFF + yy]; band
     # rows at padded coords (by_ref is [2p+1, yt, 1])
+    acc = None
     for k in range(2 * p + 1):
         o = YOFF - p + k
         t = win[p : p + BZ, o : o + BY, :] * by_ref[k, pl.ds(j * BY + YOFF, BY), :][
             None, :, :
         ]
-        obuf[...] += (cyy * t).astype(obuf.dtype)
+        acc = t if acc is None else acc + t
+    obuf[...] += (cyy * acc).astype(obuf.dtype)
 
     # x taps: STATIC lane rotates (a dynamic-shift roll lowers to
     # ~log2(nx) select stages and dominated the kernel). roll by (p-t)
     # puts u[x + (t-p)] at x; wrapped lanes are killed by the zero band
     # entries (bx[., x] = 0 whenever tap x+k falls outside the domain).
     c_tile = win[p : p + BZ, YOFF : YOFF + BY, :]
+    acc = None
     for t in range(2 * p + 1):
         shift = (p - t) % nxp  # pltpu.roll requires non-negative shifts
-        obuf[...] += (cxx * (pltpu.roll(c_tile, shift, 2) * bx_ref[t])).astype(
-            obuf.dtype
-        )
+        r = pltpu.roll(c_tile, shift, 2) * bx_ref[t]
+        acc = r if acc is None else acc + r
+    obuf[...] += (cxx * acc).astype(obuf.dtype)
     cp_out = pltpu.make_async_copy(
         obuf,
         out_hbm.at[pl.ds(i * BZ + p, BZ), pl.ds(j * BY + YOFF, BY), :],
