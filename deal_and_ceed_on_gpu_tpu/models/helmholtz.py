@@ -38,6 +38,35 @@ class HelmholtzOperator(MatrixFreeOperator):
         backend: str = "structured",
         coefficient_fn: Callable[[np.ndarray], np.ndarray] = default_coefficient,
     ):
+        if backend == "separable":
+            # GLL collocation only: the varying-coefficient mass term is a
+            # GLOBAL DIAGONAL (gather-diag-scatter over coinciding
+            # node/quadrature points), so Helmholtz = Poisson Kronecker
+            # terms + one diagonal term — the full fast path survives
+            if not space.basis.collocation:
+                raise ValueError(
+                    "separable Helmholtz requires GLL collocation (the "
+                    "Gauss-rule mass term with varying a(x) is not separable)"
+                )
+            from ..ops.separable import poisson_terms
+
+            super().__init__(space, backend)
+            geo = space.geometry
+            xq = geo.q_points_phys()
+            a_q = np.asarray(coefficient_fn(xq), dtype=np.float64)
+            self._a_q_raw = a_q
+            ajxw = (a_q * geo.jxw_full()).reshape(-1)
+            dvec = np.zeros(space.n_dofs)
+            np.add.at(dvec, space.mesh.element_dof_map(space.degree).reshape(-1), ajxw)
+            nz, ny, nx = space.grid_shape
+            self._sep_terms = poisson_terms(space.mesh, space.basis, space.dtype) + [
+                {
+                    "coef": 1.0,
+                    "band": [],
+                    "diag": jnp.asarray(dvec.reshape(nz, ny, nx), space.dtype),
+                }
+            ]
+            return
         super().__init__(space, backend)
         geo = space.geometry
         xq = geo.q_points_phys()  # [n_cells, n_q, 3]

@@ -43,20 +43,19 @@ __all__ = ["FDMSolver"]
 
 class FDMSolver:
     def __init__(self, space: FESpace):
-        if not space.basis.collocation:
-            # Gauss rules: value factors are banded (B), not diagonal; the
-            # generalized eigenproblem is then A1 V = B V Lambda — same code
-            raise NotImplementedError(
-                "FDM currently implemented for GLL collocation (BP5/BP6); "
-                "Gauss rules need the banded-B generalized eigenproblem"
-            )
         self.space = space
         tabs = _axis_tables(space.mesh, space.basis)
         evecs, evals = [], []
         for ax in (0, 1, 2):  # z, y, x grid axes
             A1 = tabs[ax]["A1"][1:-1, 1:-1]  # interior block
-            d = tabs[ax]["d"][1:-1]
-            lam, V = scipy.linalg.eigh(A1, np.diag(d))  # V^T diag(d) V = I
+            # value factor: pointwise weights at GLL collocation, the banded
+            # 1D mass matrix for Gauss rules — the generalized eigenproblem
+            # A1 V = B V Lambda covers both
+            if space.basis.collocation:
+                B = np.diag(tabs[ax]["d"][1:-1])
+            else:
+                B = tabs[ax]["B"][1:-1, 1:-1]
+            lam, V = scipy.linalg.eigh(A1, B)  # V^T B V = I
             evals.append(lam)
             evecs.append(V)
         lz, ly, lx = evals

@@ -20,9 +20,9 @@ from deal_and_ceed_on_gpu_tpu.utils import oracle
         ),
     ],
 )
-@pytest.mark.parametrize("p", [2, 4])
-def test_fdm_is_exact_poisson_solver(mesh, p):
-    space = FESpace.create(mesh, p, rule="gauss_lobatto", dtype=jnp.float64)
+@pytest.mark.parametrize("p,rule", [(2, "gauss_lobatto"), (4, "gauss_lobatto"), (3, "gauss")])
+def test_fdm_is_exact_poisson_solver(mesh, p, rule):
+    space = FESpace.create(mesh, p, rule=rule, dtype=jnp.float64)
     fdm = FDMSolver(space)
     b = assemble_rhs(space, 1.0)
     x = fdm.solve(b)

@@ -46,3 +46,27 @@ def test_separable_mass_matches_oracle(shape, p, rule, nq, mode):
     got = np.asarray(jax.jit(op.vmult)(u))
     want = oracle.apply_constrained(A, mask, np.asarray(u))
     np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-12)
+
+
+def test_separable_helmholtz_collocated_matches_cell_loop():
+    """GLL-collocated Helmholtz on the separable fast path: Poisson
+    Kronecker terms + a global diagonal mass term."""
+    from deal_and_ceed_on_gpu_tpu.models import HelmholtzOperator
+
+    mesh = BrickMesh((2, 3, 2))
+    space = FESpace.create(mesh, 3, rule="gauss_lobatto", dtype=jnp.float64)
+    op_ref = HelmholtzOperator(space, backend="structured")
+    op_sep = HelmholtzOperator(space, backend="separable")
+    u = jnp.asarray(np.random.default_rng(5).standard_normal(space.n_dofs))
+    np.testing.assert_allclose(
+        np.asarray(op_sep.vmult(u)), np.asarray(op_ref.vmult(u)), rtol=1e-12, atol=1e-13
+    )
+
+
+def test_separable_helmholtz_gauss_raises():
+    from deal_and_ceed_on_gpu_tpu.models import HelmholtzOperator
+
+    mesh = BrickMesh((2, 2, 2))
+    space = FESpace.create(mesh, 2, rule="gauss", dtype=jnp.float64)
+    with pytest.raises(ValueError):
+        HelmholtzOperator(space, backend="separable")
