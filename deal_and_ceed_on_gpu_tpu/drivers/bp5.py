@@ -248,6 +248,12 @@ def main():
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--backend", default="structured")
     ap.add_argument("--modes", default="pcg-standard,pcg-merged,vmult")
+    ap.add_argument(
+        "--shards",
+        type=int,
+        default=1,
+        help="z-slab shards over the device mesh (distributed pcg-merged)",
+    )
     args = ap.parse_args()
     cfg = BP5Config(
         degree=args.degree,
@@ -257,7 +263,11 @@ def main():
         backend=args.backend,
         modes=tuple(args.modes.split(",")),
     )
-    run(args.cycle_min, args.cycle_max, cfg)
+    if args.shards > 1:
+        for cycle in range(args.cycle_min, args.cycle_max + 1):
+            run_cycle_distributed(cycle, args.shards, cfg)
+    else:
+        run(args.cycle_min, args.cycle_max, cfg)
 
 
 if __name__ == "__main__":

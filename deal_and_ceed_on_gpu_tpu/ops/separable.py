@@ -26,7 +26,6 @@ GLL-collocated Helmholtz (a global diagonal).
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Literal, Sequence
 
 import jax.numpy as jnp
@@ -38,9 +37,10 @@ from .sum_factorization import sweep
 __all__ = [
     "band_matrix_1d",
     "diag_vector_1d",
-    "SeparableTerm",
     "apply_separable",
     "band_apply",
+    "poisson_terms",
+    "mass_terms",
 ]
 
 
@@ -67,15 +67,6 @@ def diag_vector_1d(m: int, p: int, w: np.ndarray, scale=None) -> np.ndarray:
         c = 1.0 if scale is None else float(scale[e])
         d[e * p : e * p + p + 1] += c * w
     return d
-
-
-@dataclasses.dataclass(frozen=True)
-class SeparableTerm:
-    """One Kronecker term c * Tz (x) Ty (x) Tx. Each factor is either
-    ("diag", [n1]) or ("band", [n1, n1] dense banded)."""
-
-    coef: float
-    factors: tuple  # ((kind, array) for z, y, x)
 
 
 def band_apply(

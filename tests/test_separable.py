@@ -70,3 +70,18 @@ def test_separable_helmholtz_gauss_raises():
     space = FESpace.create(mesh, 2, rule="gauss", dtype=jnp.float64)
     with pytest.raises(ValueError):
         HelmholtzOperator(space, backend="separable")
+
+
+def test_deterministic_apply():
+    """No atomics anywhere: repeated applies are bitwise identical (the
+    reproducibility the reference only gets with graph coloring,
+    bp5/fe_evaluation_gl.h:176-180)."""
+    mesh = BrickMesh((3, 3, 3))
+    space = FESpace.create(mesh, 3, dtype=jnp.float64)
+    u = jnp.asarray(np.random.default_rng(9).standard_normal(space.n_dofs))
+    for backend in ("gather", "structured", "separable"):
+        op = PoissonOperator(space, backend=backend)
+        f = jax.jit(op.vmult)
+        a = np.asarray(f(u))
+        b = np.asarray(f(u))
+        np.testing.assert_array_equal(a, b)
