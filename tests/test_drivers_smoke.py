@@ -1,0 +1,23 @@
+"""Driver smoke tests (CPU): the CLIs stay runnable end-to-end."""
+
+import numpy as np
+
+from deal_and_ceed_on_gpu_tpu.drivers import bp, bp5
+
+
+def test_bp5_run_cycle_smoke():
+    cfg = bp5.BP5Config(
+        degree=2, n_iterations=10, n_repetitions=1, dtype="float64",
+        backend="separable", modes=("pcg-standard", "pcg-merged", "fdm-direct", "vmult"),
+    )
+    res = bp5.run_cycle(12, cfg)
+    assert set(res) >= {"pcg-standard", "pcg-merged", "fdm-direct", "vmult", "l2_norm"}
+    assert res["vmult"] > 0 and np.isfinite(res["l2_norm"])
+
+
+def test_bp_sweep_smoke():
+    res = bp.run_sweep(
+        "bp1", degrees=[2], target_dofs=2000, n_iterations=5, n_repetitions=1,
+        dtype="float64", modes=("pcg-merged",),
+    )
+    assert res[2]["pcg-merged"] > 0
