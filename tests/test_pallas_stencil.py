@@ -46,3 +46,36 @@ def test_pallas_padded_layout_invariants():
     np.testing.assert_allclose(
         np.asarray(L.unpad_flat(out_p)), np.asarray(op.vmult(u)), atol=1e-14
     )
+
+
+def test_full_cg_solve_in_padded_layout():
+    """Whole merged-CG solves run on padded vectors with the pallas vmult:
+    zero padding is an invariant of every solver update, so the result
+    matches the unpadded separable solve exactly (up to fp ordering)."""
+    from deal_and_ceed_on_gpu_tpu import SolverControl, solve_cg_merged
+    from deal_and_ceed_on_gpu_tpu.models import assemble_rhs
+
+    mesh = BrickMesh((3, 3, 3))
+    space = FESpace.create(mesh, 2, rule="gauss_lobatto", dtype=jnp.float64)
+    op_ref = PoissonOperator(space, backend="separable")
+    op = PoissonOperator(space, backend="pallas")
+    op._stencil.interpret = True
+    b = assemble_rhs(space, 1.0)
+    control = SolverControl(300, 1e-11 * float(jnp.linalg.norm(b)))
+
+    x_ref, info_ref = solve_cg_merged(op_ref.vmult, b, control)
+
+    L = op.layout
+    bp = L.pad_flat(b)
+    xp, info = solve_cg_merged(op.vmult_padded, bp, control)
+    # fp-ordering differences between backends may flip the final iteration
+    assert abs(int(info["n_iterations"]) - int(info_ref["n_iterations"])) <= 1
+    # padding stayed zero through the whole solve
+    x3 = np.asarray(xp).reshape(L.padded_shape)
+    dead = np.ones(L.padded_shape, dtype=bool)
+    nz, ny, nx = L.real_shape
+    dead[L.p : L.p + nz, 8 : 8 + ny, :nx] = False
+    np.testing.assert_array_equal(x3[dead], 0.0)
+    np.testing.assert_allclose(
+        np.asarray(L.unpad_flat(xp)), np.asarray(x_ref), rtol=1e-9, atol=1e-12
+    )
