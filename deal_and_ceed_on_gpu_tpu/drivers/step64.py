@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from ..fe_space import FESpace
 from ..mesh import BrickMesh
 from ..models import HelmholtzOperator, assemble_rhs, l2_norm_function
-from ..solvers import SolverControl, solve_cg, solve_cg_merged
+from ..solvers import ReductionControl, solve_cg, solve_cg_merged
 from ..utils.logging import rank0_print as pcout
 
 __all__ = ["run"]
@@ -43,7 +43,9 @@ def run(
     pcout(f"   Number of degrees of freedom: {space.n_dofs}")
 
     b = assemble_rhs(space, 1.0, backend=backend)
-    control = SolverControl(max_steps, rtol * float(jnp.linalg.norm(b)))
+    # reference criterion 1e-12 * |b| (step-64/step-64.cu:513-514): with
+    # x0 = 0 the initial residual IS b, so this is reduction = rtol
+    control = ReductionControl(max_steps, tolerance=0.0, reduction=rtol)
     solver = solve_cg_merged if use_merged else solve_cg
     x, info = jax.jit(lambda b: solver(op.vmult, b, control, diag=op.diagonal()))(b)
     it = int(info["n_iterations"])

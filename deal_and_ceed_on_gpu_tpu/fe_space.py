@@ -100,42 +100,6 @@ class FESpace:
         X[..., 2] = cz[:, None, None]
         return X.reshape(-1, 3)
 
-    # ------------------------------------------------------------------ #
-    # padded ("TPU-tile") vector layout: [nz, ny->x8, nx->x128] with zero
-    # padding. Zeros are invariant under the operator (assembled band
-    # tables vanish outside the domain) and under every elementwise solver
-    # update, so whole CG solves run on padded vectors with no copies.
-    # ------------------------------------------------------------------ #
-    @property
-    def padded_grid_shape(self) -> tuple[int, int, int]:
-        nz, ny, nx = self.grid_shape
-        return (nz, -(-ny // 8) * 8, -(-nx // 128) * 128)
-
-    @property
-    def n_dofs_padded(self) -> int:
-        nz, ny, nx = self.padded_grid_shape
-        return nz * ny * nx
-
-    def pad_flat(self, u: jnp.ndarray) -> jnp.ndarray:
-        nz, ny, nx = self.grid_shape
-        pz, py, px = self.padded_grid_shape
-        return jnp.pad(
-            u.reshape(self.grid_shape), ((0, 0), (0, py - ny), (0, px - nx))
-        ).reshape(-1)
-
-    def unpad_flat(self, u: jnp.ndarray) -> jnp.ndarray:
-        nz, ny, nx = self.grid_shape
-        return u.reshape(self.padded_grid_shape)[:, :ny, :nx].reshape(-1)
-
-    @cached_property
-    def dirichlet_mask_padded(self) -> jnp.ndarray:
-        m = np.asarray(self.mesh.boundary_dof_mask(self.degree))
-        nz, ny, nx = self.grid_shape
-        pz, py, px = self.padded_grid_shape
-        mp = np.zeros((pz, py, px), dtype=bool)
-        mp[:, :ny, :nx] = m.reshape(self.grid_shape)
-        return jnp.asarray(mp.reshape(-1))
-
     def copy_constrained_values(
         self, src: jnp.ndarray, dst: jnp.ndarray
     ) -> jnp.ndarray:

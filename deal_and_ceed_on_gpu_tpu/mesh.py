@@ -21,10 +21,11 @@ Conventions
 from __future__ import annotations
 
 import dataclasses
+from typing import Callable, Optional
 
 import numpy as np
 
-__all__ = ["BrickMesh"]
+__all__ = ["BrickMesh", "MappedMesh"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -56,7 +57,33 @@ class BrickMesh:
 
     @property
     def is_uniform(self) -> bool:
-        return self.widths is None
+        return self.widths is None and not self.is_mapped
+
+    @property
+    def is_mapped(self) -> bool:
+        """True when a smooth deformation is applied on top of the brick
+        (see :class:`MappedMesh`); geometry then carries full per-qpoint
+        Jacobians instead of per-axis widths."""
+        return False
+
+    def deform(
+        self,
+        mapping: Callable[[np.ndarray], np.ndarray],
+        mapping_jacobian: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+    ) -> "MappedMesh":
+        """Deform this brick by a smooth map ``x = phi(X)`` of its physical
+        coordinates (the deal.II ``MappingQGeneric`` general-geometry path,
+        reference L-16; Jacobians consumed at ``bp5/step-64.cu:90-113``).
+        The discrete geometry is the degree-p isoparametric interpolant of
+        ``phi`` at the element nodal points."""
+        return MappedMesh(
+            self.n_elements,
+            self.lower,
+            self.upper,
+            self.widths,
+            mapping=mapping,
+            mapping_jacobian=mapping_jacobian,
+        )
 
     @staticmethod
     def graded(breaks_x, breaks_y, breaks_z) -> "BrickMesh":

@@ -66,7 +66,7 @@ def solve_cg(
 
     def cond(state):
         x, r, d, rz, it, res = state
-        return control.continue_pred(it, res)
+        return control.continue_pred(it, res, res0)
 
     def body(state):
         x, r, d, rz, it, res = state

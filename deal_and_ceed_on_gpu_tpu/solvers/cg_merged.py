@@ -112,7 +112,7 @@ def solve_cg_merged(
     zero = jnp.zeros((), dtype=dd)
 
     def cond(state):
-        return control.continue_pred(state["it"], state["res"])
+        return control.continue_pred(state["it"], state["res"], res0)
 
     def body(state):
         x, g, d = state["x"], state["g"], state["d"]
@@ -132,7 +132,7 @@ def solve_cg_merged(
             s6 != 0.0, alpha * (s4 + alpha * s5) / jnp.where(s6 != 0.0, s6, 1.0), zero
         )
 
-        will_stop = jnp.logical_not(control.continue_pred(it, res))
+        will_stop = jnp.logical_not(control.continue_pred(it, res, res0))
         a = alpha.astype(dt)
 
         if deferred_x_update:

@@ -42,14 +42,24 @@ class SolverControl:
 
     success_on_max_steps: bool = False
 
-    def continue_pred(self, it, res):
-        return jnp.logical_and(it < self.max_steps, res > self.tolerance)
+    def effective_tolerance(self, res0=None):
+        """The stop threshold; subclasses may make it ``res0``-relative.
+        Works on both device scalars (inside the solver loop) and host
+        floats (in :meth:`check`)."""
+        return self.tolerance
+
+    def continue_pred(self, it, res, res0=None):
+        return jnp.logical_and(
+            it < self.max_steps, res > self.effective_tolerance(res0)
+        )
 
     def check(self, info: dict) -> dict:
         """Host-side convergence verdict; raises NoConvergence on failure."""
         it = int(info["n_iterations"])
         res = float(info["res_norm"])
-        ok = res <= self.tolerance or (self.success_on_max_steps and it >= self.max_steps)
+        res0 = float(info["res0"]) if "res0" in info else None
+        tol = float(self.effective_tolerance(res0))
+        ok = res <= tol or (self.success_on_max_steps and it >= self.max_steps)
         if not ok:
             raise NoConvergence(it, res)
         return info
@@ -66,12 +76,13 @@ class IterationNumberControl(SolverControl):
 @dataclasses.dataclass(frozen=True)
 class ReductionControl(SolverControl):
     """Succeed when the residual drops by ``reduction`` relative to the
-    initial residual or below the absolute tolerance."""
+    initial residual, or below the absolute tolerance (deal.II
+    ``ReductionControl``; the step-64 driver's ``1e-12 * |b|`` criterion,
+    ``step-64/step-64.cu:513-514``, is ``reduction=1e-12`` with ``x0=0``)."""
 
     reduction: float = 1e-6
 
-    def continue_pred(self, it, res, res0=None):
-        tol = self.tolerance
-        if res0 is not None:
-            tol = jnp.maximum(tol, self.reduction * res0)
-        return jnp.logical_and(it < self.max_steps, res > tol)
+    def effective_tolerance(self, res0=None):
+        if res0 is None:
+            return self.tolerance
+        return jnp.maximum(self.tolerance, self.reduction * res0)

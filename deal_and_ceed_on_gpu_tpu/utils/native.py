@@ -30,13 +30,15 @@ def get_lib():
         return _lib
     _tried = True
     try:
-        if not _LIB_PATH.exists():
-            subprocess.run(
-                ["make", "-C", str(_CSRC)],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
+        # always invoke make: its mtime check is cheap and guarantees the
+        # loaded binary matches fem_setup.cpp (a stale committed/copied .so
+        # would load fine via CDLL and only fail at call time)
+        subprocess.run(
+            ["make", "-C", str(_CSRC)],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
         lib = ctypes.CDLL(str(_LIB_PATH))
         lib.element_dof_map.argtypes = [ctypes.c_int64] * 4 + [
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")

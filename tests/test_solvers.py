@@ -106,6 +106,28 @@ def test_exact_convergence_stops_cleanly():
     )
 
 
+@pytest.mark.parametrize("solver", [solve_cg, solve_cg_merged])
+def test_reduction_control_stops_at_relative_reduction(solver):
+    """ReductionControl must terminate on res <= reduction * res0 (deal.II
+    semantics; the step-64 driver criterion) — it is wired through the
+    solver loops via res0, not just an absolute tolerance."""
+    from deal_and_ceed_on_gpu_tpu import ReductionControl
+
+    mesh, space, op, b = _poisson_setup(p=3, shape=(3, 3, 3))
+    c = ReductionControl(500, tolerance=0.0, reduction=1e-4)
+    x, info = jax.jit(lambda b: solver(op.vmult, b, c))(b)
+    res, res0 = float(info["res_norm"]), float(info["res0"])
+    it = int(info["n_iterations"])
+    assert res <= 1e-4 * res0
+    assert it < 500  # stopped early, not at max_steps
+    # one iteration earlier the residual was still above the threshold:
+    # rerunning with a fixed count of it-1 must leave res > reduction*res0
+    c_short = IterationNumberControl(it - 1, 0.0)
+    _, info_short = jax.jit(lambda b: solver(op.vmult, b, c_short))(b)
+    assert float(info_short["res_norm"]) > 1e-4 * res0
+    c.check({k: np.asarray(v) for k, v in info.items()})
+
+
 def test_jacobi_preconditioner_changes_nothing_for_identity_diag():
     mesh, space, op, b = _poisson_setup(p=2, shape=(2, 2, 2))
     control = SolverControl(500, 1e-10)
