@@ -21,7 +21,7 @@ Layer map (mirrors SURVEY.md section 1):
 """
 
 from .basis import Basis1D, gauss_lobatto_points, gauss_points
-from .mesh import BrickMesh
+from .mesh import BrickMesh, MappedMesh, shear_map, sine_map
 from .geometry import Geometry
 from .fe_space import FESpace
 from .models.poisson import PoissonOperator
@@ -41,6 +41,9 @@ __version__ = "0.1.0"
 __all__ = [
     "Basis1D",
     "BrickMesh",
+    "MappedMesh",
+    "shear_map",
+    "sine_map",
     "Geometry",
     "FESpace",
     "PoissonOperator",

@@ -24,7 +24,25 @@ __all__ = [
     "gauss_lobatto_points",
     "lagrange_eval",
     "Basis1D",
+    "basis_tables_3d",
 ]
+
+
+def basis_tables_3d(basis: "Basis1D") -> tuple[np.ndarray, np.ndarray]:
+    """Dense 3D basis tables: values ``V[(p+1)^3, n_q^3]`` and reference
+    gradients ``G[3, (p+1)^3, n_q^3]`` (local dof order (k,j,i) with i=x
+    fastest, qpoint order (qz,qy,qx) with qx fastest). Small; used for
+    general-geometry setup (diagonals, oracle assembly), never on the hot
+    path — the hot path stays sum-factorized."""
+    S, D = basis.S, basis.D  # [q, p+1]
+    V = np.einsum("ck,bj,ai->kjicba", S, S, S)
+    Gx = np.einsum("ck,bj,ai->kjicba", S, S, D)
+    Gy = np.einsum("ck,bj,ai->kjicba", S, D, S)
+    Gz = np.einsum("ck,bj,ai->kjicba", D, S, S)
+    n, q = basis.n_dofs**3, basis.n_q**3
+    return V.reshape(n, q), np.stack(
+        [Gx.reshape(n, q), Gy.reshape(n, q), Gz.reshape(n, q)]
+    )
 
 
 def gauss_points(n: int) -> tuple[np.ndarray, np.ndarray]:

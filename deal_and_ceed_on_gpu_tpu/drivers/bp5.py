@@ -196,24 +196,33 @@ def run(cycle_min=7, cycle_max=40, cfg: BP5Config | None = None):
     return out
 
 
-def run_cycle_distributed(cycle: int, n_shards: int, cfg: BP5Config | None = None):
-    """Distributed pcg-merged benchmark over an ``n_shards`` device mesh
-    (z-slab decomposition; requires mz divisible by n_shards — cycles with
-    rem in {0,2,3} in the bp5 sweep have power-of-two mz). Reports the same
-    ``pcg-merged <dofs/rank> <throughput>`` line per-rank normalized, like
-    the reference's multi-GPU runs (``bp5/step-64.cu:470-474``)."""
+def run_cycle_distributed(
+    cycle: int, pz: int, py: int = 1, cfg: BP5Config | None = None
+):
+    """Distributed benchmark over a ``pz x py`` device mesh ((z, y) block
+    decomposition; any shard count divides any mesh via dead-element
+    padding). Runs the pcg-merged and vmult modes with the same
+    reference-format per-rank output lines as the reference's multi-GPU
+    runs (``bp5/step-64.cu:470-474,543-547``). The jitted SPMD solver is
+    built once and reused across timed repetitions."""
     import numpy as np
 
-    from ..parallel import DistPoissonOperator, SlabPartition, solve_cg_merged_dist
-    from ..parallel.dist_solve import make_device_mesh
+    from ..parallel import (
+        BlockPartition,
+        DistOperator,
+        make_device_mesh,
+        make_dist_vmult,
+        solve_cg_merged_dist,
+    )
 
     cfg = cfg or BP5Config()
+    n_shards = pz * py
     mesh = BrickMesh.bp5_cycle(cycle)
     dtype = jnp.dtype(cfg.dtype)
     space = FESpace.create(mesh, cfg.degree, rule=cfg.rule, dtype=dtype)
-    part = SlabPartition(mesh, cfg.degree, n_shards)
-    dist_op = DistPoissonOperator(part, dtype=dtype)
-    pcout(f"Cycle {cycle} on {n_shards} shards")
+    part = BlockPartition(mesh, cfg.degree, pz=pz, py=py)
+    dist_op = DistOperator(part, PoissonOperator, dtype=dtype, backend=cfg.backend)
+    pcout(f"Cycle {cycle} on {pz}x{py} shards")
     pcout(f"   Number of active cells:       {mesh.n_cells}")
     pcout(f"   Number of degrees of freedom: {space.n_dofs}")
 
@@ -221,21 +230,59 @@ def run_cycle_distributed(cycle: int, n_shards: int, cfg: BP5Config | None = Non
     norm_b = float(jnp.linalg.norm(b))
     control = IterationNumberControl(cfg.n_iterations, 1e-6 * norm_b)
     b_stacked = jnp.asarray(
-        part.to_slabs(np.asarray(b).reshape(space.grid_shape))
+        part.to_blocks(np.asarray(b).reshape(space.grid_shape))
     )
-    devmesh = make_device_mesh(n_shards)
-    x, info = solve_cg_merged_dist(dist_op, b_stacked, control, mesh=devmesh)
-    jax.block_until_ready(x)
+    devmesh = make_device_mesh(pz, py)
+    results = {}
 
-    times, iters = [], []
-    for _ in range(cfg.n_repetitions):
-        t = Timer().start()
+    if "pcg-merged" in cfg.modes:
         x, info = solve_cg_merged_dist(dist_op, b_stacked, control, mesh=devmesh)
-        t.stop(fence=x)
-        times.append(t.elapsed)
-        iters.append(int(info["n_iterations"]))
-    tp = _throughput_lines("pcg-merged", space.n_dofs, times, iters, n_ranks=n_shards)
-    return {"pcg-merged": tp, "n_iterations": iters[-1]}
+        jax.block_until_ready(x)
+        times, iters = [], []
+        for _ in range(cfg.n_repetitions):
+            t = Timer().start()
+            x, info = solve_cg_merged_dist(
+                dist_op, b_stacked, control, mesh=devmesh
+            )
+            t.stop(fence=x)
+            times.append(t.elapsed)
+            iters.append(int(info["n_iterations"]))
+        results["pcg-merged"] = _throughput_lines(
+            "pcg-merged", space.n_dofs, times, iters, n_ranks=n_shards
+        )
+        results["n_iterations"] = iters[-1]
+
+    if "vmult" in cfg.modes:
+        vmult = make_dist_vmult(dist_op, devmesh)
+        op_single = PoissonOperator(space, backend=cfg.backend)
+        lam = estimate_lambda_max(op_single, space.n_dofs)
+        scale = jnp.asarray(1.0 / lam, dtype=dtype)
+
+        @jax.jit
+        def chain(u):
+            def body(i, v):
+                return vmult(v) * scale
+
+            return jax.lax.fori_loop(0, cfg.n_iterations, body, u)
+
+        u0 = b_stacked / jnp.linalg.norm(b_stacked)
+        jax.block_until_ready(chain(u0))
+        times = []
+        for _ in range(cfg.n_repetitions):
+            t = Timer().start()
+            out = chain(u0)
+            t.stop(fence=out)
+            times.append(t.elapsed)
+        tp = [space.n_dofs * cfg.n_iterations / t / n_shards for t in times]
+        for t, th in zip(times, tp):
+            pcout(
+                f"   {cfg.n_iterations} mat-vecs in time {t:.6f} and DoFs/s {th:.6g}"
+            )
+        results["vmult"] = max(tp)
+        pcout(f"vmult {space.n_dofs // n_shards} {max(tp):.6g}")
+        pcout("")
+
+    return results
 
 
 def main():
@@ -250,9 +297,8 @@ def main():
     ap.add_argument("--modes", default="pcg-standard,pcg-merged,vmult")
     ap.add_argument(
         "--shards",
-        type=int,
-        default=1,
-        help="z-slab shards over the device mesh (distributed pcg-merged)",
+        default="1",
+        help="device-mesh decomposition: N (z slabs) or PZxPY (2D blocks)",
     )
     args = ap.parse_args()
     cfg = BP5Config(
@@ -263,9 +309,13 @@ def main():
         backend=args.backend,
         modes=tuple(args.modes.split(",")),
     )
-    if args.shards > 1:
+    if "x" in args.shards:
+        pz, py = (int(s) for s in args.shards.split("x"))
+    else:
+        pz, py = int(args.shards), 1
+    if pz * py > 1:
         for cycle in range(args.cycle_min, args.cycle_max + 1):
-            run_cycle_distributed(cycle, args.shards, cfg)
+            run_cycle_distributed(cycle, pz, py, cfg)
     else:
         run(args.cycle_min, args.cycle_max, cfg)
 

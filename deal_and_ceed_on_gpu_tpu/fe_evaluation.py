@@ -52,10 +52,21 @@ class FEEvaluation:
         self._h = MatrixFreeOperator(space, backend)
         geo = space.geometry
         self._jxw = jnp.asarray(self._h.jxw_layout(), dtype=space.dtype)
-        md = geo.merged_diag_per_cell()  # [E, 3]
-        w3 = self._h.w3d_layout()
-        coef = [self._h.to_layout(md[:, d : d + 1] * np.ones((1, geo.n_q))) * w3 for d in range(3)]
-        self._cdiag = tuple(jnp.asarray(c, dtype=space.dtype) for c in coef)
+        if geo.mapped:
+            # full 6-plane merged coefficient (general geometry)
+            self._coef6 = jnp.asarray(
+                self._h.to_layout(geo.merged_coef_full()), dtype=space.dtype
+            )
+            self._cdiag = None
+        else:
+            md = geo.merged_diag_per_cell()  # [E, 3]
+            w3 = self._h.w3d_layout()
+            coef = [
+                self._h.to_layout(md[:, d : d + 1] * np.ones((1, geo.n_q))) * w3
+                for d in range(3)
+            ]
+            self._cdiag = tuple(jnp.asarray(c, dtype=space.dtype) for c in coef)
+            self._coef6 = None
 
     # ------------------------------------------------------------------ #
     def read_dof_values(self, src: jnp.ndarray) -> jnp.ndarray:
@@ -89,8 +100,16 @@ class FEEvaluation:
     def submit_gradient(self, grads):
         """Multiply by JxW * J^{-1} J^{-T} (merged coefficient; the
         reference's submit_gradient applies J^{-T} and JxW,
-        ``bp5/fe_evaluation_gl.h:355-369``)."""
+        ``bp5/fe_evaluation_gl.h:355-369``). Full symmetric contraction on
+        mapped meshes (``bp5/step-64.cu:164-188``)."""
         gx, gy, gz = grads
+        if self._coef6 is not None:
+            c = self._coef6
+            return (
+                c[..., 0] * gx + c[..., 1] * gy + c[..., 2] * gz,
+                c[..., 1] * gx + c[..., 3] * gy + c[..., 4] * gz,
+                c[..., 2] * gx + c[..., 4] * gy + c[..., 5] * gz,
+            )
         cx, cy, cz = self._cdiag
         return (gx * cx, gy * cy, gz * cz)
 

@@ -18,11 +18,17 @@ Mesh classes supported:
   the Kronecker fast path survives (ops/separable.py absorbs the widths
   into its per-axis assembled tables); the dense ``[n_cells, n_q, 6]``
   tables feed the general gather/structured backends.
+- **mapped (deformed) meshes** (:class:`~..mesh.MappedMesh`): full
+  per-(cell, qpoint) Jacobians from the degree-p isoparametric interpolant
+  of the deformation (``MappingQGeneric`` semantics, reference L-16); all
+  six merged-coefficient planes are generally non-zero, exercising the
+  complete symmetric contraction (``bp5/step-64.cu:164-188``).
 """
 
 from __future__ import annotations
 
 import dataclasses
+from functools import cached_property
 
 import numpy as np
 
@@ -59,6 +65,10 @@ class Geometry:
     @property
     def uniform(self) -> bool:
         return self.mesh.is_uniform
+
+    @property
+    def mapped(self) -> bool:
+        return self.mesh.is_mapped
 
     @property
     def n_q(self) -> int:
@@ -113,18 +123,99 @@ class Geometry:
         return out
 
     # ---------------------------------------------------------------- #
-    # general dense tables (both mesh kinds)
+    # mapped (deformed) meshes: isoparametric Jacobian tables
+    # ---------------------------------------------------------------- #
+    @cached_property
+    def _mapped_tables(self) -> tuple[np.ndarray, np.ndarray]:
+        """(x_q ``[E, n_q, 3]``, J ``[E, n_q, 3, 3]``) for a mapped mesh:
+        physical quadrature points and Jacobians ``J[c, r] = d x_c / d xi_r``
+        (xi = the element's unit reference coordinate) of the degree-p
+        isoparametric interpolant of the deformation."""
+        mesh, basis = self.mesh, self.basis
+        p1, q1 = basis.n_dofs, basis.n_q
+        mx, my, mz = mesh.n_elements
+        edges = mesh.edges_1d()
+        haxes = mesh.h_axes()
+        # per-axis nodal brick coordinates per element: [m_d, p1]
+        lines = [
+            edges[d][:-1, None] + haxes[d][:, None] * basis.nodes[None, :]
+            for d in range(3)
+        ]
+        ax, ay, az = lines
+        X = np.zeros((mz, my, mx, p1, p1, p1, 3))  # local order (k,j,i)=(z,y,x)
+        X[..., 0] = ax[None, None, :, None, None, :]
+        X[..., 1] = ay[None, :, None, None, :, None]
+        X[..., 2] = az[:, None, None, :, None, None]
+        x = mesh.map_points(X)  # [..., 3] physical nodal coordinates
+
+        S, D = basis.S, basis.D
+
+        def sweep(Mk, Mj, Mi):
+            t = np.einsum("...kjic,qi->...kjqc", x, Mi)
+            t = np.einsum("...kjqc,rj->...krqc", t, Mj)
+            return np.einsum("...krqc,sk->...srqc", t, Mk)  # [..., qz,qy,qx, 3]
+
+        n_cells, n_q = mesh.n_cells, self.n_q
+        xq = sweep(S, S, S).reshape(n_cells, n_q, 3)
+        J = np.stack(
+            [sweep(S, S, D), sweep(S, D, S), sweep(D, S, S)], axis=-1
+        ).reshape(n_cells, n_q, 3, 3)
+        dets = np.linalg.det(J)
+        if not np.all(dets > 0):
+            raise ValueError(
+                "mapped mesh: non-positive Jacobian determinant "
+                f"(min {dets.min():.3e}) — mapping folds the mesh"
+            )
+        return xq, J
+
+    def jacobian_full(self, dtype=np.float64) -> np.ndarray:
+        """``[n_cells, n_q, 3, 3]`` Jacobian ``d x / d xi`` per qpoint."""
+        if self.mapped:
+            return self._mapped_tables[1].astype(dtype)
+        hx, hy, hz = self.mesh.h_axes()
+        mzyx = tuple(reversed(self.mesh.n_elements))
+        J = np.zeros((self.mesh.n_cells, 3, 3), dtype=dtype)
+        J[:, 0, 0] = np.broadcast_to(hx[None, None, :], mzyx).reshape(-1)
+        J[:, 1, 1] = np.broadcast_to(hy[None, :, None], mzyx).reshape(-1)
+        J[:, 2, 2] = np.broadcast_to(hz[:, None, None], mzyx).reshape(-1)
+        return np.broadcast_to(
+            J[:, None, :, :], (self.mesh.n_cells, self.n_q, 3, 3)
+        ).copy()
+
+    def det_q_full(self) -> np.ndarray:
+        """``[n_cells, n_q]`` det(J) per qpoint."""
+        if self.mapped:
+            return np.linalg.det(self._mapped_tables[1])
+        return np.broadcast_to(
+            self.det_per_cell()[:, None], (self.mesh.n_cells, self.n_q)
+        )
+
+    # ---------------------------------------------------------------- #
+    # general dense tables (all mesh kinds)
     # ---------------------------------------------------------------- #
     def jxw_full(self, dtype=np.float64) -> np.ndarray:
         """``[n_cells, n_q]`` JxW table."""
         w = self.w3d.reshape(-1)
-        return (self.det_per_cell()[:, None] * w[None, :]).astype(dtype)
+        return (self.det_q_full() * w[None, :]).astype(dtype)
 
     def merged_coef_full(self, dtype=np.float64) -> np.ndarray:
-        """``[n_cells, n_q, 6]`` merged coefficient, symmetric order
+        """``[n_cells, n_q, 6]`` merged coefficient
+        ``C(q) = JxW(q) * J^{-1} J^{-T}``, symmetric order
         (xx,xy,xz,yy,yz,zz) — what ``JacobianFunctor`` writes
-        (``bp5/step-64.cu:98-113``). Diagonal here (axis-aligned cells)."""
+        (``bp5/step-64.cu:98-113``). Diagonal on axis-aligned cells; full on
+        mapped meshes."""
         w = self.w3d.reshape(-1)
+        if self.mapped:
+            J = self._mapped_tables[1]
+            Jinv = np.linalg.inv(J)
+            G = np.einsum("eqrc,eqsc->eqrs", Jinv, Jinv)  # J^{-1} J^{-T}
+            jxw = np.linalg.det(J) * w[None, :]
+            coef = np.empty((self.mesh.n_cells, self.n_q, 6), dtype=dtype)
+            for plane, (r, s) in enumerate(
+                [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+            ):
+                coef[:, :, plane] = jxw * G[:, :, r, s]
+            return coef
         md = self.merged_diag_per_cell()  # [E, 3]
         coef = np.zeros((self.mesh.n_cells, self.n_q, 6), dtype=dtype)
         coef[:, :, 0] = md[:, 0:1] * w[None, :]
@@ -133,20 +224,14 @@ class Geometry:
         return coef
 
     def inv_jacobian_full(self, dtype=np.float64) -> np.ndarray:
-        """``[n_cells, n_q, 3, 3]`` inverse Jacobian (diagonal)."""
-        hx, hy, hz = self.mesh.h_axes()
-        inv = np.zeros((self.mesh.n_cells, 3, 3), dtype=dtype)
-        HX = np.broadcast_to(hx[None, None, :], tuple(reversed(self.mesh.n_elements))).reshape(-1)
-        HY = np.broadcast_to(hy[None, :, None], tuple(reversed(self.mesh.n_elements))).reshape(-1)
-        HZ = np.broadcast_to(hz[:, None, None], tuple(reversed(self.mesh.n_elements))).reshape(-1)
-        inv[:, 0, 0] = 1.0 / HX
-        inv[:, 1, 1] = 1.0 / HY
-        inv[:, 2, 2] = 1.0 / HZ
-        return np.broadcast_to(inv[:, None, :, :], (self.mesh.n_cells, self.n_q, 3, 3)).copy()
+        """``[n_cells, n_q, 3, 3]`` inverse Jacobian per qpoint."""
+        return np.linalg.inv(self.jacobian_full()).astype(dtype)
 
     def q_points_phys(self) -> np.ndarray:
         """``[n_cells, n_q, 3]`` physical quadrature points, cell order
         (ez,ey,ex) flattened, qpoint order (qz,qy,qx), x fastest."""
+        if self.mapped:
+            return self._mapped_tables[0]
         mesh, basis = self.mesh, self.basis
         qp = basis.q_points
         edges = mesh.edges_1d()

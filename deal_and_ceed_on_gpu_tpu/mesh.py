@@ -25,7 +25,7 @@ from typing import Callable, Optional
 
 import numpy as np
 
-__all__ = ["BrickMesh", "MappedMesh"]
+__all__ = ["BrickMesh", "MappedMesh", "shear_map", "sine_map"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -119,8 +119,10 @@ class BrickMesh:
         widths = None
         if self.widths is not None:
             widths = tuple(np.repeat(w / f, f) for w in self.widths)
-        return BrickMesh(
-            tuple(m * f for m in self.n_elements), self.lower, self.upper, widths
+        # dataclasses.replace preserves the concrete class (MappedMesh keeps
+        # its mapping through refinement)
+        return dataclasses.replace(
+            self, n_elements=tuple(m * f for m in self.n_elements), widths=widths
         )
 
     @staticmethod
@@ -250,6 +252,10 @@ class BrickMesh:
         )  # [nz, ny, nx]
         return mask.reshape(-1)
 
+    def map_points(self, X: np.ndarray) -> np.ndarray:
+        """Apply the mesh deformation to brick coordinates (identity here)."""
+        return X
+
     def interior_multiplicity(self, degree: int) -> np.ndarray:
         """How many elements share each global DoF — useful for tests and for
         counting-based assembly checks."""
@@ -265,3 +271,87 @@ class BrickMesh:
             counts.append(c)
         cx, cy, cz = counts
         return (cz[:, None, None] * cy[None, :, None] * cx[None, None, :]).reshape(-1)
+
+
+@dataclasses.dataclass(frozen=True)
+class MappedMesh(BrickMesh):
+    """A brick mesh deformed by a smooth map ``x = phi(X)``.
+
+    Topology, DoF numbering, constraints, and partitioning are those of the
+    underlying brick (``X`` coordinates); only the *geometry* changes — per
+    element and quadrature point the full (generally non-diagonal) Jacobian
+    ``J = dx/dxi`` is carried, exactly what the reference's
+    ``MappingQGeneric`` tables provide (``inv_jacobian``/``JxW`` read at
+    ``bp5/step-64.cu:90-113``). The discrete mapping is isoparametric: the
+    degree-p interpolant of ``phi`` at the FE nodal points, matching
+    ``MappingQGeneric<dim>(p)`` (``bp5/step-64.cu:234``).
+
+    ``mapping`` takes ``[..., 3]`` brick coordinates to ``[..., 3]``
+    physical coordinates; the optional ``mapping_jacobian`` returns the
+    analytic ``[..., 3, 3]`` ``d phi_c / d X_r`` (tests use it to validate
+    the interpolated Jacobians).
+    """
+
+    mapping: Callable[[np.ndarray], np.ndarray] = None
+    mapping_jacobian: Optional[Callable[[np.ndarray], np.ndarray]] = None
+
+    @property
+    def is_mapped(self) -> bool:
+        return True
+
+    def map_points(self, X: np.ndarray) -> np.ndarray:
+        return np.asarray(self.mapping(np.asarray(X, dtype=np.float64)))
+
+
+def shear_map(s_xy: float = 0.0, s_xz: float = 0.0, s_yz: float = 0.0):
+    """Affine shear ``x += s_xy*y + s_xz*z; y += s_yz*z`` — the simplest
+    deformation with a full (non-diagonal, constant) Jacobian; its analytic
+    Jacobian is exact at any mapping degree."""
+    M = np.array(
+        [[1.0, s_xy, s_xz], [0.0, 1.0, s_yz], [0.0, 0.0, 1.0]]
+    )
+
+    def phi(X):
+        return X @ M.T
+
+    def jac(X):
+        return np.broadcast_to(M, X.shape[:-1] + (3, 3)).copy()
+
+    return phi, jac
+
+
+def sine_map(amplitude: float = 0.05, periods: int = 1):
+    """Smooth volume-preserving-ish wave deformation of the unit cube (a
+    Kershaw-style smoothly varying metric): every Jacobian entry varies per
+    quadrature point and all six merged-coefficient planes are non-zero."""
+    a, k = amplitude, 2.0 * np.pi * periods
+
+    def phi(X):
+        x, y, z = X[..., 0], X[..., 1], X[..., 2]
+        return np.stack(
+            [
+                x + a * np.sin(k * y) * np.sin(k * z),
+                y + a * np.sin(k * x) * np.sin(k * z),
+                z + a * np.sin(k * x) * np.sin(k * y),
+            ],
+            axis=-1,
+        )
+
+    def jac(X):
+        x, y, z = X[..., 0], X[..., 1], X[..., 2]
+        J = np.zeros(X.shape[:-1] + (3, 3))
+        sx, cx = np.sin(k * x), np.cos(k * x)
+        sy, cy = np.sin(k * y), np.cos(k * y)
+        sz, cz = np.sin(k * z), np.cos(k * z)
+        J[..., 0, 0] = 1.0
+        J[..., 0, 1] = a * k * cy * sz
+        J[..., 0, 2] = a * k * sy * cz
+        J[..., 1, 0] = a * k * cx * sz
+        J[..., 1, 1] = 1.0
+        J[..., 1, 2] = a * k * sx * cz
+        J[..., 2, 0] = a * k * cx * sy
+        J[..., 2, 1] = a * k * sx * cy
+        J[..., 2, 2] = 1.0
+        return J
+
+    return phi, jac

@@ -76,6 +76,7 @@ class HelmholtzOperator(MatrixFreeOperator):
         self._coef_val = jnp.asarray(
             self.to_layout(a_q * geo.jxw_full()), dtype=space.dtype
         )
+        self._full_contraction = geo.mapped
         if geo.uniform:
             self._cdiag = tuple(
                 jnp.asarray(c, dtype=space.dtype) for c in geo.const_merged_diag
@@ -83,7 +84,7 @@ class HelmholtzOperator(MatrixFreeOperator):
             self._w3d = jnp.asarray(self.w3d_layout(), dtype=space.dtype)
             self._coef_g = None
         else:
-            # graded: per-element diagonal gradient coefficient
+            # graded: diagonal planes only; mapped: all six planes live
             self._coef_g = jnp.asarray(
                 self.to_layout(geo.merged_coef_full()), dtype=space.dtype
             )
@@ -95,12 +96,29 @@ class HelmholtzOperator(MatrixFreeOperator):
             self.space, gradient=True, value_q=self._a_q_raw
         )
 
+    def shard_table_names(self):
+        """The value coefficient a(x_q)*JxW depends on the block's physical
+        position (reference ``VaryingCoefficientFunctor``,
+        ``step-64/step-64.cu:69-118``); the gradient tables on a uniform
+        brick do not."""
+        if self.backend == "separable":
+            return ()
+        return ("_coef_val",)
+
     def quad_point_op(self, vals, grads):
         gx, gy, gz = grads
         if self._coef_g is None:
             cx, cy, cz = self._cdiag
             w = self._w3d
             flux = (gx * (cx * w), gy * (cy * w), gz * (cz * w))
+        elif self._full_contraction:
+            c = self._coef_g
+            # symmetric 3x3 contraction (bp5/step-64.cu:164-188)
+            flux = (
+                c[..., 0] * gx + c[..., 1] * gy + c[..., 2] * gz,
+                c[..., 1] * gx + c[..., 3] * gy + c[..., 4] * gz,
+                c[..., 2] * gx + c[..., 4] * gy + c[..., 5] * gz,
+            )
         else:
             c = self._coef_g
             flux = (c[..., 0] * gx, c[..., 3] * gy, c[..., 5] * gz)

@@ -89,11 +89,14 @@ class MatrixFreeOperator:
     def jxw_layout(self) -> np.ndarray:
         """JxW in the local layout: a tiny broadcastable array on uniform
         meshes, per-element tensor factors on graded ones (still a
-        broadcastable outer product — never a full [E, n_q] table)."""
+        broadcastable outer product), a full per-qpoint table only on
+        mapped meshes."""
         geo = self.space.geometry
         w3 = self.w3d_layout()
         if geo.uniform:
             return geo.det_j * w3
+        if geo.mapped:
+            return self.to_layout(geo.jxw_full())
         hx, hy, hz = self.space.mesh.h_axes()
         mx, my, mz = self.space.mesh.n_elements
         if self.backend == "structured":
@@ -178,6 +181,25 @@ class MatrixFreeOperator:
         d = self.compute_diagonal()
         return 1.0 / d
 
+    # --------------------- distributed-table hooks -------------------- #
+    def shard_table_names(self) -> tuple[str, ...]:
+        """Names of coefficient-table attributes that depend on the
+        element block's physical position (empty for position-invariant
+        operators such as uniform-mesh Poisson/mass). The distributed
+        layer builds these on the padded global mesh, slices per shard,
+        and feeds them through shard_map as sharded operands."""
+        return ()
+
+    def bind_shard_tables(self, tables: dict) -> "MatrixFreeOperator":
+        """Shallow copy with the given table attributes substituted (the
+        values may be tracers inside shard_map)."""
+        import copy
+
+        new = copy.copy(self)
+        for name, value in tables.items():
+            setattr(new, name, value)
+        return new
+
 
 def tensor_product_diagonal(
     space: FESpace,
@@ -193,9 +215,13 @@ def tensor_product_diagonal(
     with ``m1_a = sum_q w_q S[q,a]^2``, ``k1_a = sum_q w_q D[q,a]^2`` and
     ``c_{d,e}`` the per-element merged-coefficient diagonal; for a varying
     value coefficient the per-axis contractions run over ``a_q``.
-    Host-side numpy (setup cost), then one scatter-add.
+    Host-side numpy (setup cost), then one scatter-add. Mapped meshes take
+    the general (dense basis-table) path in :func:`_general_local_diagonal`.
     """
     basis, geo = space.basis, space.geometry
+    if geo.mapped:
+        local_e = _general_local_diagonal(space, gradient, value_q, value_const)
+        return _scatter_local_diagonal(space, local_e)
     S2 = basis.S**2  # [q, p+1]
     D2 = basis.D**2
     w = basis.q_weights
@@ -227,12 +253,50 @@ def tensor_product_diagonal(
         t = np.einsum("ezyi,yj->ezji", t, w[:, None] * S2)
         local_e = local_e + det_e * np.einsum("ezji,zk->ekji", t, w[:, None] * S2)
 
+    return _scatter_local_diagonal(space, local_e)
+
+
+def _scatter_local_diagonal(space: FESpace, local_e: np.ndarray) -> jnp.ndarray:
+    """Scatter-add per-element local diagonals and pin Dirichlet rows."""
     dof_map = space.mesh.element_dof_map(space.degree)
     diag = np.zeros(space.n_dofs)
-    np.add.at(diag, dof_map.reshape(-1), local_e.reshape(n_cells, -1).reshape(-1))
+    np.add.at(diag, dof_map.reshape(-1), local_e.reshape(-1))
     mask = space.mesh.boundary_dof_mask(space.degree)
     diag[mask] = 1.0
     return jnp.asarray(diag, dtype=space.dtype)
+
+
+def _general_local_diagonal(
+    space: FESpace,
+    gradient: bool,
+    value_q: Optional[np.ndarray],
+    value_const: Optional[float],
+) -> np.ndarray:
+    """Per-element diagonal on general (mapped) geometry:
+    ``diag_e[a] = sum_q grad phi_a(q)^T C_e(q) grad phi_a(q) + value terms``
+    with the 6-plane merged coefficient tables."""
+    from ..basis import basis_tables_3d
+
+    geo = space.geometry
+    V, G = basis_tables_3d(space.basis)
+    n_cells = space.mesh.n_cells
+    local_e = np.zeros((n_cells, V.shape[0]))
+    if gradient:
+        C = geo.merged_coef_full()  # [E, n_q, 6]
+        planes = [(0, 0, 0), (1, 0, 1), (2, 0, 2), (3, 1, 1), (4, 1, 2), (5, 2, 2)]
+        for plane, r, s in planes:
+            f = 1.0 if r == s else 2.0
+            local_e += f * np.einsum(
+                "aq,aq,eq->ea", G[r], G[s], C[:, :, plane], optimize=True
+            )
+    if value_const is not None or value_q is not None:
+        jxw = geo.jxw_full()  # [E, n_q]
+        if value_q is not None:
+            jxw = jxw * value_q.reshape(n_cells, -1)
+        elif value_const != 1.0:
+            jxw = jxw * value_const
+        local_e += np.einsum("aq,aq,eq->ea", V, V, jxw, optimize=True)
+    return local_e
 
 
 # --------------------------------------------------------------------- #
@@ -296,12 +360,22 @@ def l2_norm_function(space: FESpace, u_flat: jnp.ndarray, n_q: int | None = None
     w3d = (w[:, None, None] * w[None, :, None] * w[None, None, :]).reshape(
         1, q, 1, q, 1, q
     )
-    hx, hy, hz = space.mesh.h_axes()
     mx, my, mz = space.mesh.n_elements
-    det = (
-        hz.reshape(mz, 1, 1, 1, 1, 1)
-        * hy.reshape(1, 1, my, 1, 1, 1)
-        * hx.reshape(1, 1, 1, 1, mx, 1)
-    )
-    jxw = jnp.asarray(det * w3d, dtype=space.dtype)
+    if space.mesh.is_mapped:
+        # per-qpoint det(J) at the validation rule's points
+        from ..geometry import Geometry
+
+        det_q = Geometry.from_mesh(space.mesh, vb).det_q_full()
+        det = np.moveaxis(
+            det_q.reshape(mz, my, mx, q, q, q), (3, 4, 5), (1, 3, 5)
+        )
+        jxw = jnp.asarray(det * np.broadcast_to(w3d, det.shape), dtype=space.dtype)
+    else:
+        hx, hy, hz = space.mesh.h_axes()
+        det = (
+            hz.reshape(mz, 1, 1, 1, 1, 1)
+            * hy.reshape(1, 1, my, 1, 1, 1)
+            * hx.reshape(1, 1, 1, 1, mx, 1)
+        )
+        jxw = jnp.asarray(det * w3d, dtype=space.dtype)
     return jnp.sqrt(jnp.sum(vals * vals * jxw))

@@ -149,6 +149,12 @@ def _axis_tables(mesh, basis):
       B  = Z^T diag(h_e)  M  Z   (value factor, Gauss rules)
       d  = Z^T diag(h_e * w) Z   (pointwise weights, GLL collocation)
     """
+    if mesh.is_mapped:
+        raise ValueError(
+            "separable backend: tensor-product (uniform/graded brick) "
+            "meshes only — mapped meshes have non-separable metric terms; "
+            "use the structured or gather backend"
+        )
     p = basis.degree
     S, D, w = basis.S, basis.D, basis.q_weights
     K_e = np.einsum("q,qa,qb->ab", w, D, D)

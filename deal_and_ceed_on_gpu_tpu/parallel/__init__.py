@@ -1,10 +1,22 @@
-from .partition import SlabPartition
-from .dist_operator import DistPoissonOperator
-from .dist_solve import solve_cg_merged_dist, solve_cg_dist
+from .partition import BlockPartition, SlabPartition
+from .dist_operator import DistOperator, DistPoissonOperator, halo_combine
+from .dist_solve import (
+    make_device_mesh,
+    make_dist_solver,
+    make_dist_vmult,
+    solve_cg_dist,
+    solve_cg_merged_dist,
+)
 
 __all__ = [
+    "BlockPartition",
     "SlabPartition",
+    "DistOperator",
     "DistPoissonOperator",
-    "solve_cg_merged_dist",
+    "halo_combine",
+    "make_device_mesh",
+    "make_dist_solver",
+    "make_dist_vmult",
     "solve_cg_dist",
+    "solve_cg_merged_dist",
 ]

@@ -1,81 +1,168 @@
 """Distributed matrix-free operators: local cell loop + ICI halo exchange.
 
-The per-shard program (traced once, SPMD over the mesh axis):
+The per-shard program (traced once, SPMD over the 2D (z, y) device mesh):
 
-    mask constrained -> local structured cell loop (pure compute)
-        -> bidirectional one-plane ppermute (combine shared-plane partials)
+    mask constrained -> local cell loop (pure compute)
+        -> bidirectional one-plane ppermute per partitioned axis
         -> Dirichlet identity rows
 
 This is the reference's ``cell_loop`` with
 ``overlap_communication_computation=true`` (``bp5/step-64.cu:241``) in XLA
-form: the plane ``ppermute`` is asynchronous in the XLA schedule and only the
-two boundary planes depend on it, so the compiler overlaps it with the
+form: the plane ``ppermute`` is asynchronous in the XLA schedule and only
+the boundary planes depend on it, so the compiler overlaps it with the
 interior compute — no manual interior/boundary cell split is needed.
+
+:class:`DistOperator` wraps ANY :class:`~..models.operator_base
+.MatrixFreeOperator` (Poisson, Helmholtz, mass, vector BPs — the
+reference's whole-driver-at-any-rank-count property,
+``bp5/step-64.cu:704-708``). Operators whose coefficient tables depend on
+the shard's physical position (e.g. Helmholtz's ``a(x)``) declare them via
+``shard_table_names()``; the tables are built once on the padded global
+mesh, sliced per shard, and fed through ``shard_map`` as sharded operands.
 """
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, Optional, Type
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 from ..fe_space import FESpace
+from ..models.operator_base import MatrixFreeOperator
 from ..models.poisson import PoissonOperator
-from .partition import SlabPartition
+from .partition import BlockPartition
 
-__all__ = ["DistPoissonOperator", "halo_combine"]
+__all__ = ["DistOperator", "DistPoissonOperator", "halo_combine"]
 
 
-def halo_combine(dst: jnp.ndarray, axis_name: str, n_shards: int) -> jnp.ndarray:
-    """Combine partial sums on the shared planes between z-neighboring slabs:
-    shard k's last plane and shard k+1's first plane are the same global
-    plane; each side adds the other's partial so both duplicates end up with
-    the full value (``compress(add)`` + ``update_ghost_values`` in one
-    bidirectional exchange)."""
-    if n_shards == 1:
-        return dst
-    up = [(k, k + 1) for k in range(n_shards - 1)]  # send to next shard
-    down = [(k + 1, k) for k in range(n_shards - 1)]  # send to prev shard
-    # my last plane partial -> next shard's first plane; my first plane
-    # partial -> prev shard's last plane. Non-receivers get zeros.
-    from_prev = lax.ppermute(dst[-1:], axis_name, up)
-    from_next = lax.ppermute(dst[:1], axis_name, down)
-    dst = dst.at[:1].add(from_prev)
-    dst = dst.at[-1:].add(from_next)
+def halo_combine(dst: jnp.ndarray, part: BlockPartition) -> jnp.ndarray:
+    """Combine partial sums on planes shared between neighboring blocks:
+    one bidirectional plane exchange per partitioned axis; z first so the
+    subsequent y exchange carries z-pair sums across shared edges
+    (``compress(add)`` + ``update_ghost_values`` in one pass)."""
+    if part.pz > 1:
+        up = [(k, k + 1) for k in range(part.pz - 1)]
+        down = [(k + 1, k) for k in range(part.pz - 1)]
+        from_prev = lax.ppermute(dst[-1:], part.axis_z, up)
+        from_next = lax.ppermute(dst[:1], part.axis_z, down)
+        dst = dst.at[:1].add(from_prev)
+        dst = dst.at[-1:].add(from_next)
+    if part.py > 1:
+        up = [(k, k + 1) for k in range(part.py - 1)]
+        down = [(k + 1, k) for k in range(part.py - 1)]
+        from_prev = lax.ppermute(dst[:, -1:], part.axis_y, up)
+        from_next = lax.ppermute(dst[:, :1], part.axis_y, down)
+        dst = dst.at[:, :1].add(from_prev)
+        dst = dst.at[:, -1:].add(from_next)
     return dst
 
 
-class DistPoissonOperator:
-    """SPMD BP5 Poisson operator over a :class:`SlabPartition`.
+class DistOperator:
+    """SPMD matrix-free operator over a :class:`BlockPartition`.
 
-    ``vmult_local`` is the per-shard function to be called *inside*
-    ``shard_map``; arrays are local ghosted slabs ``[nz_loc, ny, nx]``.
+    ``vmult_local`` is the per-shard function called *inside*
+    ``shard_map``; arrays are local ghosted blocks ``[nz_loc, ny_loc, nx]``.
+
+    Parameters mirror the single-device operator constructors:
+    ``op_cls(space, backend=..., **op_kwargs)``.
     """
 
-    def __init__(self, part: SlabPartition, dtype=jnp.float32, backend: str = "separable"):
+    def __init__(
+        self,
+        part: BlockPartition,
+        op_cls: Type[MatrixFreeOperator] = PoissonOperator,
+        dtype=jnp.float32,
+        backend: str = "separable",
+        rule: str = "gauss_lobatto",
+        n_q: Optional[int] = None,
+        **op_kwargs,
+    ):
         self.part = part
         self.space = FESpace.create(
-            part.local_mesh, part.degree, rule="gauss_lobatto", dtype=dtype
+            part.local_mesh, part.degree, n_q=n_q, rule=rule, dtype=dtype
         )
         # Local operator WITHOUT constraint handling; masks are shard-aware.
         # Any backend whose apply equals the sum of local element
         # contributions is valid here — including the separable fast path:
-        # the per-shard band matrices are assembled from local elements
-        # only, so interior planes are complete and exactly the shared
-        # plane carries cross-shard partial sums (combined in halo_combine).
-        self._local_op = PoissonOperator(self.space, backend=backend)
+        # per-shard band matrices are assembled from local elements only, so
+        # interior planes are complete and exactly the shared planes carry
+        # cross-shard partials (combined in halo_combine).
+        self._local_op = op_cls(self.space, backend=backend, **op_kwargs)
+        self._table_names = self._local_op.shard_table_names()
+        if self._table_names:
+            if backend != "structured":
+                raise ValueError(
+                    f"{op_cls.__name__} has position-dependent tables; "
+                    "use backend='structured' for the distributed operator"
+                )
+            # build the tables once on the padded global mesh, slice per
+            # shard in device order
+            import numpy as np
 
-    def vmult_local(self, u: jnp.ndarray) -> jnp.ndarray:
+            gspace = FESpace.create(
+                part.padded_mesh, part.degree, n_q=n_q, rule=rule, dtype=dtype
+            )
+            gop = op_cls(gspace, backend=backend, **op_kwargs)
+            self.shard_tables = tuple(
+                jnp.asarray(part.slice_table(np.asarray(getattr(gop, name))))
+                for name in self._table_names
+            )
+        else:
+            self.shard_tables = ()
+        self._solver_cache = {}
+
+    def vmult_local(self, u: jnp.ndarray, *tables: jnp.ndarray) -> jnp.ndarray:
+        """Per-shard apply; ``tables`` are this shard's slices of
+        :attr:`shard_tables` (leading stack axis already consumed by
+        shard_map, may keep a leading length-1 axis)."""
         part = self.part
-        i = lax.axis_index(part.axis_name)
-        mask = part.local_dirichlet_mask(i)
+        iz = lax.axis_index(part.axis_z)
+        iy = lax.axis_index(part.axis_y)
+        mask = part.local_dirichlet_mask(iz, iy)
         us = jnp.where(mask, jnp.zeros((), u.dtype), u)
-        dst = self._local_op.apply_cell_loop(us.reshape(-1)).reshape(u.shape)
-        dst = halo_combine(dst, part.axis_name, part.n_shards)
+        op = self._local_op
+        if tables:
+            squeezed = {
+                name: t.reshape(t.shape[1:])
+                for name, t in zip(self._table_names, tables)
+            }
+            op = op.bind_shard_tables(squeezed)
+        dst = op.apply_cell_loop(us.reshape(-1)).reshape(u.shape)
+        dst = halo_combine(dst, part)
         return jnp.where(mask, u, dst)
 
     def dot_weight(self, dtype):
-        i = lax.axis_index(self.part.axis_name)
-        return self.part.local_dot_weight(i, dtype)
+        part = self.part
+        iz = lax.axis_index(part.axis_z)
+        iy = lax.axis_index(part.axis_y)
+        return part.local_dot_weight(iz, iy, dtype)
+
+    def jacobi_blocks(self, op_cls=None, **op_kwargs):
+        """Host-side: the true-Jacobi preconditioner (1/diag) of the global
+        operator in concatenated-block layout — a shard_map ``diag``
+        operand for preconditioned distributed solves."""
+        import numpy as np
+
+        rule = "gauss_lobatto" if self.space.basis.collocation else "gauss"
+        gspace = FESpace.create(
+            self.part.mesh,
+            self.part.degree,
+            n_q=self.space.basis.n_q,
+            rule=rule,
+            dtype=self.space.dtype,
+        )
+        gop = (op_cls or type(self._local_op))(
+            gspace, backend="structured", **op_kwargs
+        )
+        d = np.asarray(gop.jacobi_preconditioner()).reshape(gspace.grid_shape)
+        blocks = self.part.to_blocks(d)
+        # padding rows: identity so the preconditioner is benign there
+        blocks[blocks == 0.0] = 1.0
+        return jnp.asarray(blocks, dtype=self.space.dtype)
+
+
+def DistPoissonOperator(part, dtype=jnp.float32, backend: str = "separable"):
+    """Back-compat alias: the BP5 Poisson distributed operator."""
+    return DistOperator(part, PoissonOperator, dtype=dtype, backend=backend)

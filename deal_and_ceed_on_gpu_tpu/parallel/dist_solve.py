@@ -1,87 +1,183 @@
 """Distributed CG solves: the whole solver loop runs SPMD inside shard_map.
 
-Composition of ``solvers.cg*`` with :class:`DistPoissonOperator`: each
-iteration is (local fused update) -> (local cell loop + plane ppermute) ->
-(7 local dots + ONE stacked psum over ICI). Scalar recurrences are computed
-redundantly on every device — the TPU equivalent of the reference's
-"7-double allreduce then host scalar math" (``bp5/solver.h:488-533``), with
-no host in the loop at all.
+Composition of ``solvers.cg*`` with :class:`DistOperator`: each iteration
+is (local fused update) -> (local cell loop + plane ppermutes) -> (7 local
+dots + ONE stacked psum over both mesh axes). Scalar recurrences are
+computed redundantly on every device — the TPU equivalent of the
+reference's "7-double allreduce then host scalar math"
+(``bp5/solver.h:488-533``), with no host in the loop at all.
+
+The jitted shard-mapped solver is built ONCE per (operator, control, mesh)
+and cached on the operator, so repeated timed solves pay zero Python
+retracing (matching the warm-up pattern of the single-chip driver paths).
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..solvers.cg import solve_cg
 from ..solvers.cg_merged import solve_cg_merged
 from ..solvers.control import SolverControl
-from .dist_operator import DistPoissonOperator
-from .partition import SlabPartition
+from .dist_operator import DistOperator
 
-__all__ = ["solve_cg_merged_dist", "solve_cg_dist", "make_device_mesh"]
+__all__ = [
+    "solve_cg_merged_dist",
+    "solve_cg_dist",
+    "make_device_mesh",
+    "make_dist_solver",
+    "make_dist_vmult",
+]
 
 
-def make_device_mesh(n_devices: int, axis_name: str = "z") -> Mesh:
-    return Mesh(jax.devices()[:n_devices], (axis_name,))
+def make_device_mesh(pz: int, py: int = 1, axis_z: str = "z", axis_y: str = "y") -> Mesh:
+    """A ``pz x py`` 2D device mesh (1D z-slabs when ``py == 1``)."""
+    devs = np.asarray(jax.devices()[: pz * py]).reshape(pz, py)
+    return Mesh(devs, (axis_z, axis_y))
 
 
-def _dist_solve(solver_fn, dist_op, b_stacked, control, mesh, **kwargs):
+def _mesh_for(dist_op: DistOperator, mesh: Optional[Mesh]) -> Mesh:
     part = dist_op.part
-    ax = part.axis_name
+    return mesh or make_device_mesh(part.pz, part.py, part.axis_z, part.axis_y)
 
-    def local_solve(b_loc):
-        b_loc = b_loc.reshape(part.local_grid_shape)
+
+def _table_specs(dist_op: DistOperator):
+    part = dist_op.part
+    return tuple(
+        P((part.axis_z, part.axis_y), *([None] * (t.ndim - 1)))
+        for t in dist_op.shard_tables
+    )
+
+
+def make_dist_solver(
+    solver_fn,
+    dist_op: DistOperator,
+    control: SolverControl,
+    mesh: Optional[Mesh] = None,
+    with_diag: bool = False,
+    **kwargs,
+):
+    """Build the jitted SPMD solver ``run(b_flat[, diag_flat]) ->
+    (x_flat, info)`` on ``flat_grid_shape`` operands; cached on the
+    operator."""
+    mesh = _mesh_for(dist_op, mesh)
+    key = (solver_fn, control, mesh, with_diag, tuple(sorted(kwargs.items())))
+    cached = dist_op._solver_cache.get(key)
+    if cached is not None:
+        return cached
+
+    part = dist_op.part
+    az, ay = part.axis_z, part.axis_y
+    grid_spec = P(az, ay, None)
+
+    def local_solve(b_loc, diag_loc, *tables):
         w = dist_op.dot_weight(b_loc.dtype)
         x, info = solver_fn(
-            dist_op.vmult_local,
+            lambda u: dist_op.vmult_local(u, *tables),
             b_loc,
             control,
+            diag=diag_loc,
             dot_weight=w,
-            psum_axis=ax,
+            psum_axis=(az, ay),
             **kwargs,
         )
         # scalars are already replicated (post-psum recurrences)
-        return x.reshape(b_loc.shape), info["n_iterations"], info["res_norm"]
+        return x, info["n_iterations"], info["res_norm"], info["res0"]
 
+    if with_diag:
+        jitted = jax.jit(
+            jax.shard_map(
+                local_solve,
+                mesh=mesh,
+                in_specs=(grid_spec, grid_spec) + _table_specs(dist_op),
+                out_specs=(grid_spec, P(), P(), P()),
+            )
+        )
+
+        def run(b_flat, diag_flat):
+            x, it, res, res0 = jitted(b_flat, diag_flat, *dist_op.shard_tables)
+            return x, {"n_iterations": it, "res_norm": res, "res0": res0}
+
+    else:
+        jitted = jax.jit(
+            jax.shard_map(
+                lambda b_loc, *tables: local_solve(b_loc, None, *tables),
+                mesh=mesh,
+                in_specs=(grid_spec,) + _table_specs(dist_op),
+                out_specs=(grid_spec, P(), P(), P()),
+            )
+        )
+
+        def run(b_flat):
+            x, it, res, res0 = jitted(b_flat, *dist_op.shard_tables)
+            return x, {"n_iterations": it, "res_norm": res, "res0": res0}
+
+    dist_op._solver_cache[key] = run
+    return run
+
+
+def make_dist_vmult(dist_op: DistOperator, mesh: Optional[Mesh] = None):
+    """Jitted SPMD operator apply on ``flat_grid_shape`` arrays (the
+    distributed 'vmult' benchmark mode; cached)."""
+    mesh = _mesh_for(dist_op, mesh)
+    key = ("vmult", mesh)
+    cached = dist_op._solver_cache.get(key)
+    if cached is not None:
+        return cached
+    part = dist_op.part
+    grid_spec = P(part.axis_z, part.axis_y, None)
     shmapped = jax.shard_map(
-        local_solve,
+        dist_op.vmult_local,
         mesh=mesh,
-        in_specs=P(ax, None, None),
-        out_specs=(P(ax, None, None), P(), P()),
+        in_specs=(grid_spec,) + _table_specs(dist_op),
+        out_specs=grid_spec,
     )
-    nzl, ny, nx = part.local_grid_shape
-    b_flat = b_stacked.reshape(part.n_shards * nzl, ny, nx)
-    x, it, res = jax.jit(shmapped)(b_flat)
-    return x.reshape(part.n_shards, nzl, ny, nx), {
-        "n_iterations": it,
-        "res_norm": res,
-    }
+    fn = jax.jit(lambda u: shmapped(u, *dist_op.shard_tables))
+    dist_op._solver_cache[key] = fn
+    return fn
+
+
+def _coerce_flat(dist_op: DistOperator, b_stacked: jnp.ndarray) -> jnp.ndarray:
+    return jnp.asarray(b_stacked).reshape(dist_op.part.flat_grid_shape)
 
 
 def solve_cg_merged_dist(
-    dist_op: DistPoissonOperator,
+    dist_op: DistOperator,
     b_stacked: jnp.ndarray,
     control: SolverControl,
     mesh: Optional[Mesh] = None,
+    diag_stacked: Optional[jnp.ndarray] = None,
     **kwargs,
 ):
-    """b_stacked: ``[n_shards, nz_loc, ny, nx]`` ghosted slabs (see
-    ``SlabPartition.to_slabs``). Returns (x_stacked, info)."""
-    mesh = mesh or make_device_mesh(dist_op.part.n_shards, dist_op.part.axis_name)
-    return _dist_solve(solve_cg_merged, dist_op, b_stacked, control, mesh, **kwargs)
+    """b_stacked: ghosted blocks, any shape reshapeable to
+    ``part.flat_grid_shape`` (see ``BlockPartition.to_blocks``/``to_slabs``).
+    Returns ``(x_flat, info)``."""
+    run = make_dist_solver(
+        solve_cg_merged, dist_op, control, mesh, diag_stacked is not None, **kwargs
+    )
+    b = _coerce_flat(dist_op, b_stacked)
+    if diag_stacked is not None:
+        return run(b, _coerce_flat(dist_op, diag_stacked))
+    return run(b)
 
 
 def solve_cg_dist(
-    dist_op: DistPoissonOperator,
+    dist_op: DistOperator,
     b_stacked: jnp.ndarray,
     control: SolverControl,
     mesh: Optional[Mesh] = None,
+    diag_stacked: Optional[jnp.ndarray] = None,
     **kwargs,
 ):
-    mesh = mesh or make_device_mesh(dist_op.part.n_shards, dist_op.part.axis_name)
-    return _dist_solve(solve_cg, dist_op, b_stacked, control, mesh, **kwargs)
+    run = make_dist_solver(
+        solve_cg, dist_op, control, mesh, diag_stacked is not None, **kwargs
+    )
+    b = _coerce_flat(dist_op, b_stacked)
+    if diag_stacked is not None:
+        return run(b, _coerce_flat(dist_op, diag_stacked))
+    return run(b)

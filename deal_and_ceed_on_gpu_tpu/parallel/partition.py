@@ -3,126 +3,236 @@
 TPU-native replacement of the reference's L0 distribution stack (p4est
 partitioning + owned/ghost DoF index sets + CUDA-aware-MPI transport;
 ``bp5/step-64.cu:310,345-348``, ``tests/cuda_aware_mpi.cc``): the element
-grid is block-partitioned along the z axis over a 1D ``jax.sharding.Mesh``
-axis. There are no index sets and no transport code — the ghost layer is a
-single shared nodal plane between neighboring slabs, and its exchange is a
-``ppermute`` over ICI inside ``shard_map``.
+grid is block-partitioned along the z axis — and optionally the y axis —
+over a 2D ``jax.sharding.Mesh``. There are no index sets and no transport
+code: the ghost layer is the single shared nodal plane between neighboring
+blocks per partitioned axis, exchanged with a ``ppermute`` over ICI inside
+``shard_map``.
 
-Representation ("ghosted slab"): every device holds
-``[mz_loc * p + 1, ny, nx]`` nodal planes; the *last* plane is a duplicate of
-the next device's first plane (the final device genuinely owns its last
-plane). Elementwise vector updates keep duplicates consistent by
-construction, so only two operations need communication:
+Representation ("ghosted block"): every device holds
+``[nz_loc, ny_loc, nx]`` nodal planes; the *last* plane along each
+partitioned axis duplicates the next block's first plane. Elementwise
+vector updates keep duplicates consistent by construction, so only two
+operations communicate:
 
-- ``vmult``: the two partial sums computed for a shared plane by its two
-  neighboring slabs are combined with one bidirectional plane ``ppermute``
-  (the ``update_ghost_values``/``compress(add)`` pair, reference L-2/L-9);
+- ``vmult``: partial sums on shared planes are combined with one
+  bidirectional plane ``ppermute`` per partitioned axis (the
+  ``update_ghost_values``/``compress(add)`` pair, reference L-2/L-9);
+  shared *edges* between four diagonal neighbors resolve automatically by
+  doing the z exchange first (its planes then carry z-pair sums into the
+  y exchange);
 - dot products: duplicated planes are weighted out, then one ``psum``
-  (the 7-scalar ``MPI_Allreduce``, ``bp5/solver.h:493-494``).
+  over both mesh axes (the 7-scalar ``MPI_Allreduce``,
+  ``bp5/solver.h:493-494``).
+
+**Any shard count divides any mesh**: when ``m_d`` is not divisible by the
+axis shard count, the element grid is padded with dead elements past the
+physical z/y extent. All nodal planes at or beyond the physical boundary
+plane are constrained (the physical boundary is Dirichlet anyway, so the
+padding extends the identity block): padded DoFs carry exact zeros through
+operator applies and CG updates, making the padded solve bit-identical to
+the unpadded one on the physical DoFs — the TPU answer to p4est's
+arbitrary-rank-count partitioning (``bp5/step-64.cu:704-708``).
 """
 
 from __future__ import annotations
 
 import dataclasses
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..mesh import BrickMesh
 
-__all__ = ["SlabPartition"]
+__all__ = ["BlockPartition", "SlabPartition"]
 
 
 @dataclasses.dataclass(frozen=True)
-class SlabPartition:
-    """Z-axis slab decomposition of a :class:`BrickMesh` over ``n_shards``."""
+class BlockPartition:
+    """(z, y) block decomposition of a :class:`BrickMesh` over a
+    ``pz x py`` device mesh (``py = 1`` gives classic z slabs)."""
 
     mesh: BrickMesh
     degree: int
-    n_shards: int
-    axis_name: str = "z"
+    pz: int
+    py: int = 1
+    axis_z: str = "z"
+    axis_y: str = "y"
 
     def __post_init__(self):
-        mz = self.mesh.n_elements[2]
-        if mz % self.n_shards != 0:
-            raise ValueError(
-                f"mz={mz} not divisible by n_shards={self.n_shards}"
+        if self.mesh.is_mapped:
+            raise NotImplementedError(
+                "distributed solves support tensor-product brick meshes"
             )
+        if self.pz < 1 or self.py < 1:
+            raise ValueError("shard counts must be >= 1")
+
+    # ------------------------------ sizes ----------------------------- #
+    @property
+    def n_shards(self) -> int:
+        return self.pz * self.py
 
     @property
     def mz_local(self) -> int:
-        return self.mesh.n_elements[2] // self.n_shards
+        return -(-self.mesh.n_elements[2] // self.pz)  # ceil
+
+    @property
+    def my_local(self) -> int:
+        return -(-self.mesh.n_elements[1] // self.py)
 
     @property
     def local_mesh(self) -> BrickMesh:
-        """The per-shard element slab. Geometry (h) is identical on every
-        shard, so one traced program serves all of them."""
+        """The per-shard element block. Uniform geometry is identical on
+        every shard, so one traced program serves all of them; absolute
+        offsets enter only through per-shard data tables."""
         mx, my, mz = self.mesh.n_elements
-        lo, up = self.mesh.lower, self.mesh.upper
-        hz = self.mesh.h[2]
-        # z-extent of one slab; absolute offset differs per shard but only
-        # enters coefficient evaluation, which is passed in as data.
+        hx, hy, hz = self.mesh.h
+        lo = self.mesh.lower
         return BrickMesh(
-            (mx, my, self.mz_local),
+            (mx, self.my_local, self.mz_local),
             lo,
-            (up[0], up[1], lo[2] + hz * self.mz_local),
+            (
+                self.mesh.upper[0],
+                lo[1] + hy * self.my_local,
+                lo[2] + hz * self.mz_local,
+            ),
+        )
+
+    @property
+    def padded_mesh(self) -> BrickMesh:
+        """The global element grid including dead padding elements (used to
+        build position-dependent coefficient tables that are then sliced
+        per shard)."""
+        mx, my, mz = self.mesh.n_elements
+        hx, hy, hz = self.mesh.h
+        lo = self.mesh.lower
+        my_p, mz_p = self.my_local * self.py, self.mz_local * self.pz
+        return BrickMesh(
+            (mx, my_p, mz_p),
+            lo,
+            (self.mesh.upper[0], lo[1] + hy * my_p, lo[2] + hz * mz_p),
         )
 
     @property
     def local_grid_shape(self) -> tuple[int, int, int]:
-        nx, ny, _ = self.mesh.n_nodes(self.degree)
-        return (self.mz_local * self.degree + 1, ny, nx)
+        nx, _, _ = self.mesh.n_nodes(self.degree)
+        p = self.degree
+        return (self.mz_local * p + 1, self.my_local * p + 1, nx)
 
     @property
     def global_grid_shape(self) -> tuple[int, int, int]:
         nx, ny, nz = self.mesh.n_nodes(self.degree)
         return (nz, ny, nx)
 
+    @property
+    def flat_grid_shape(self) -> tuple[int, int, int]:
+        """Shape of the shard_map operand: blocks concatenated (with their
+        ghost/padding planes) along z and y."""
+        nzl, nyl, nx = self.local_grid_shape
+        return (self.pz * nzl, self.py * nyl, nx)
+
     # ---------------------------------------------------------------- #
-    # host-side conversions between a global grid array and the stacked
-    # ghosted-slab representation [n_shards, nz_loc, ny, nx]
+    # host-side conversions global grid <-> concatenated ghosted blocks
     # ---------------------------------------------------------------- #
-    def to_slabs(self, u_global: np.ndarray) -> np.ndarray:
+    def to_blocks(self, u_global: np.ndarray) -> np.ndarray:
+        """``[nz, ny, nx]`` global nodal grid -> ``flat_grid_shape`` array
+        whose (iz, iy) block holds that shard's ghosted local grid
+        (padding beyond the physical extent is zero)."""
         nz, ny, nx = self.global_grid_shape
-        nzl = self.local_grid_shape[0]
+        nzl, nyl, _ = self.local_grid_shape
         u = np.asarray(u_global).reshape(nz, ny, nx)
-        p_step = self.mz_local * self.degree
-        out = np.stack(
-            [u[k * p_step : k * p_step + nzl] for k in range(self.n_shards)]
-        )
+        p = self.degree
+        sz, sy = self.mz_local * p, self.my_local * p
+        out = np.zeros(self.flat_grid_shape, dtype=u.dtype)
+        for iz in range(self.pz):
+            lz = min(nzl, nz - iz * sz)
+            for iy in range(self.py):
+                ly = min(nyl, ny - iy * sy)
+                out[iz * nzl : iz * nzl + lz, iy * nyl : iy * nyl + ly] = u[
+                    iz * sz : iz * sz + lz, iy * sy : iy * sy + ly
+                ]
         return out
+
+    def from_blocks(self, blocks: np.ndarray) -> np.ndarray:
+        """Inverse of :meth:`to_blocks` (drops duplicated ghost planes and
+        dead padding)."""
+        nz, ny, nx = self.global_grid_shape
+        nzl, nyl, _ = self.local_grid_shape
+        b = np.asarray(blocks).reshape(self.flat_grid_shape)
+        p = self.degree
+        sz, sy = self.mz_local * p, self.my_local * p
+        out = np.zeros((nz, ny, nx), dtype=b.dtype)
+        # shard iz owns planes [iz*sz, (iz+1)*sz) clipped to [0, nz); the
+        # axis-final shard additionally owns the final plane (if any physical
+        # planes land past the last block start, they clip in too)
+        for iz in range(self.pz):
+            z0 = iz * sz
+            hi = nz if iz == self.pz - 1 else min(z0 + sz, nz)
+            lz = max(0, hi - z0)
+            for iy in range(self.py):
+                y0 = iy * sy
+                hi_y = ny if iy == self.py - 1 else min(y0 + sy, ny)
+                ly = max(0, hi_y - y0)
+                if lz > 0 and ly > 0:
+                    out[z0 : z0 + lz, y0 : y0 + ly] = b[
+                        iz * nzl : iz * nzl + lz, iy * nyl : iy * nyl + ly
+                    ]
+        return out
+
+    def slice_table(self, table: np.ndarray) -> np.ndarray:
+        """Slice a structured-layout table on :attr:`padded_mesh`
+        (``[MZ_pad, q, MY_pad, q, MX, q, ...]``, element-major) into the
+        per-shard stack ``[n_shards, mz_loc, q, my_loc, q, MX, q, ...]``
+        in device order (z-major)."""
+        mzl, myl = self.mz_local, self.my_local
+        parts = []
+        for iz in range(self.pz):
+            for iy in range(self.py):
+                parts.append(
+                    table[iz * mzl : (iz + 1) * mzl, :, iy * myl : (iy + 1) * myl]
+                )
+        return np.stack(parts)
+
+    # ---------------------------------------------------------------- #
+    # per-shard masks/weights (built inside shard_map from axis indices)
+    # ---------------------------------------------------------------- #
+    def local_dirichlet_mask(self, iz, iy) -> jnp.ndarray:
+        """bool ``[nz_loc, ny_loc, nx]``: x walls everywhere; y/z planes at
+        or beyond the physical boundary (which subsumes the dead padding).
+        ``iz``/``iy`` may be traced (``lax.axis_index``)."""
+        nzl, nyl, nx = self.local_grid_shape
+        nz, ny, _ = self.global_grid_shape
+        p = self.degree
+        bx = (jnp.arange(nx) == 0) | (jnp.arange(nx) == nx - 1)
+        gy = iy * (self.my_local * p) + jnp.arange(nyl)
+        by = (gy == 0) | (gy >= ny - 1)
+        gz = iz * (self.mz_local * p) + jnp.arange(nzl)
+        bz = (gz == 0) | (gz >= nz - 1)
+        return (
+            bz[:, None, None] | by[None, :, None] | bx[None, None, :]
+        )
+
+    def local_dot_weight(self, iz, iy, dtype) -> jnp.ndarray:
+        """``[nz_loc, ny_loc, 1]`` weights: 0 on ghost-duplicated planes
+        (each shard's last z/y plane except on the axis-final shard).
+        Padding DoFs are exactly zero, so they need no weighting."""
+        nzl, nyl, _ = self.local_grid_shape
+        wz = jnp.ones((nzl,), dtype=dtype)
+        wz = wz.at[-1].set(jnp.where(iz == self.pz - 1, 1.0, 0.0).astype(dtype))
+        wy = jnp.ones((nyl,), dtype=dtype)
+        wy = wy.at[-1].set(jnp.where(iy == self.py - 1, 1.0, 0.0).astype(dtype))
+        return wz[:, None, None] * wy[None, :, None]
+
+    # ----------------------- slab-compat aliases ---------------------- #
+    def to_slabs(self, u_global: np.ndarray) -> np.ndarray:
+        """z-slab view ``[n_shards, nz_loc, ny_loc, nx]`` (py == 1)."""
+        nzl, nyl, nx = self.local_grid_shape
+        return self.to_blocks(u_global).reshape(self.pz, nzl, nyl, nx)
 
     def from_slabs(self, slabs: np.ndarray) -> np.ndarray:
-        """Inverse of :meth:`to_slabs` (drops duplicated ghost planes)."""
-        nz, ny, nx = self.global_grid_shape
-        p_step = self.mz_local * self.degree
-        out = np.zeros((nz, ny, nx), dtype=slabs.dtype)
-        for k in range(self.n_shards):
-            out[k * p_step : k * p_step + p_step] = slabs[k][:p_step]
-        out[-1] = slabs[-1][-1]
-        return out
+        return self.from_blocks(np.asarray(slabs).reshape(self.flat_grid_shape))
 
-    # ---------------------------------------------------------------- #
-    # per-shard masks (built inside shard_map from the axis index)
-    # ---------------------------------------------------------------- #
-    def local_dirichlet_mask(self, shard_index) -> jnp.ndarray:
-        """bool ``[nz_loc, ny, nx]``: x/y walls everywhere; z walls only on
-        the first/last shard. ``shard_index`` may be traced
-        (``lax.axis_index``)."""
-        nzl, ny, nx = self.local_grid_shape
-        bx = (jnp.arange(nx) == 0) | (jnp.arange(nx) == nx - 1)
-        by = (jnp.arange(ny) == 0) | (jnp.arange(ny) == ny - 1)
-        base = by[None, :, None] | bx[None, None, :]
-        zi = jnp.arange(nzl)
-        z_first = (zi == 0)[:, None, None] & (shard_index == 0)
-        z_last = (zi == nzl - 1)[:, None, None] & (shard_index == self.n_shards - 1)
-        return jnp.broadcast_to(base, (nzl, ny, nx)) | z_first | z_last
 
-    def local_dot_weight(self, shard_index, dtype) -> jnp.ndarray:
-        """``[nz_loc, 1, 1]`` weights: 1 on owned planes, 0 on the ghost
-        plane (every shard's last plane except the final shard's)."""
-        nzl = self.local_grid_shape[0]
-        w = jnp.ones((nzl, 1, 1), dtype=dtype)
-        is_last = shard_index == self.n_shards - 1
-        return w.at[-1].set(jnp.where(is_last, 1.0, 0.0).astype(dtype))
+def SlabPartition(mesh: BrickMesh, degree: int, n_shards: int, axis_name: str = "z"):
+    """Classic z-slab decomposition: ``BlockPartition`` with ``py = 1``."""
+    return BlockPartition(mesh, degree, pz=n_shards, py=1, axis_z=axis_name)

@@ -14,13 +14,14 @@ from typing import Callable, Optional
 import numpy as np
 import scipy.sparse as sp
 
-from ..basis import Basis1D
+from ..basis import Basis1D, basis_tables_3d
 from ..geometry import Geometry
 from ..mesh import BrickMesh
 
 __all__ = [
     "element_matrix",
     "assemble_sparse",
+    "assemble_sparse_general",
     "apply_constrained",
     "constrained_matrix",
 ]
@@ -102,6 +103,52 @@ def assemble_sparse(
         (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
         shape=(n, n),
     )
+    return A.tocsr()
+
+
+def assemble_sparse_general(
+    mesh: BrickMesh,
+    basis: Basis1D,
+    kind: str,
+    coefficient_fn: Optional[Callable] = None,
+) -> sp.csr_matrix:
+    """Global sparse operator from the *geometry tables* (merged
+    6-plane coefficients + JxW) and dense 3D basis tables — valid on any
+    mesh kind including mapped (deformed) ones, and independent of the
+    sum-factorization sweep / gather-scatter code paths it oracles.
+
+    ``A_e[a,b] = sum_q grad phi_a(q)^T C_e(q) grad phi_b(q)
+                 (+ sum_q a(x_q) phi_a phi_b JxW for mass terms)``
+    — the assembled form of the reference kernel's contraction
+    (``bp5/step-64.cu:164-188``)."""
+    p = basis.degree
+    geo = Geometry.from_mesh(mesh, basis)
+    V, G = basis_tables_3d(basis)
+    n_loc = V.shape[0]
+    n_e = mesh.n_cells
+    Ae = np.zeros((n_e, n_loc, n_loc))
+    if kind in ("stiffness", "helmholtz"):
+        C = geo.merged_coef_full()  # [E, n_q, 6]
+        for plane, (r, s) in enumerate(
+            [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+        ):
+            Ae += np.einsum("aq,eq,bq->eab", G[r], C[:, :, plane], G[s], optimize=True)
+            if r != s:
+                Ae += np.einsum(
+                    "aq,eq,bq->eab", G[s], C[:, :, plane], G[r], optimize=True
+                )
+    if kind in ("mass", "helmholtz"):
+        jxw = geo.jxw_full()
+        if kind == "helmholtz":
+            assert coefficient_fn is not None
+            jxw = jxw * coefficient_fn(geo.q_points_phys())
+        Ae += np.einsum("aq,eq,bq->eab", V, jxw, V, optimize=True)
+
+    dof_map = mesh.element_dof_map(p)
+    n = mesh.n_dofs(p)
+    rows = np.repeat(dof_map, n_loc, axis=1).reshape(-1)
+    cols = np.tile(dof_map, (1, n_loc)).reshape(-1)
+    A = sp.coo_matrix((Ae.reshape(-1), (rows, cols)), shape=(n, n))
     return A.tocsr()
 
 

@@ -15,6 +15,17 @@ def test_bp5_run_cycle_smoke():
     assert res["vmult"] > 0 and np.isfinite(res["l2_norm"])
 
 
+def test_bp5_distributed_cycle_smoke():
+    """Distributed driver: pcg-merged + vmult on a 2x2 block mesh (cycle 9
+    has mx,my,mz = 2,2,3 — uneven in z, exercising the padding path)."""
+    cfg = bp5.BP5Config(
+        degree=2, n_iterations=10, n_repetitions=1, dtype="float64",
+        backend="structured", modes=("pcg-merged", "vmult"),
+    )
+    res = bp5.run_cycle_distributed(9, 2, 2, cfg)
+    assert res["pcg-merged"] > 0 and res["vmult"] > 0
+
+
 def test_bp_sweep_smoke():
     res = bp.run_sweep(
         "bp1", degrees=[2], target_dofs=2000, n_iterations=5, n_repetitions=1,
