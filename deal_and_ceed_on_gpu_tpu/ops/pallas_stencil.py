@@ -2,17 +2,16 @@
 
 The TPU replacement of the reference hot kernel ``apply_kernel_shmem``
 (``README.md:72``; cell kernel C3 ``bp5/step-64.cu:118-194``): one pass over
-the nodal grid computing
+the nodal grid computing the symmetrically rescaled stencil form
 
-    out = cx * (dz dy) .* A1x_x u  +  cy * (dz dx) .* A1y_y u
-                                   +  cz * (dy dx) .* A1z_z u
+    out = S .* ( Bz_z v + By_y v + Bx_x v ),     v = S .* u
 
-where each ``A1`` is the banded global 1D stiffness (half-bandwidth p, see
-ops/separable.py) applied as a (2p+1)-point stencil on the VPU, and ``d``
-are the assembled pointwise quadrature weights. All three axis stencils and
-the diagonal combine happen on one VMEM tile: u is read from HBM once per
-tile (plus the stencil halo), dst written once — the traffic-optimal
-schedule the CUDA kernel approximates with shared memory.
+where ``S = sqrt(dz (x) dy (x) dx)`` are the assembled pointwise quadrature
+weights and ``B_d = c_d * d^{-1/2} A1_d d^{-1/2}`` the weight-normalized
+banded global 1D stiffness factors (half-bandwidth p, see ops/separable.py).
+The rescaling folds the three per-axis diagonal combines of the raw form
+``cx (dz dy).*A1x u + ...`` into two pointwise scalings, so the inner loop
+is exactly 3(2p+1) fused multiply-adds per point into ONE accumulator.
 
 Kernel-owned **vector layout** (the TPU analog of the reference's padded
 per-cell storage, ``padding_length`` in L-1): the nodal grid is stored as
@@ -20,20 +19,20 @@ per-cell storage, ``padding_length`` in L-1): the nodal grid is stored as
     [ZOFF + nz + z_tail,  YOFF + ny + y_tail,  round128(nx)]
 
 with ZOFF = p dead planes and YOFF = 8 dead rows in front. The offsets make
-every DMA window start static *and* tile-aligned (z offsets live on the
-untiled leading dim; y offsets are multiples of 8 = sublane tiles; x is
-never blocked), so all stencil taps are static slices. Dead rows/lanes hold
-zeros: the assembled band/diag tables vanish there, so zero padding is an
-invariant of the operator AND of every elementwise CG update — whole solves
-run in this layout with no repacking.
+every DMA window start static *and* tile-aligned; dead rows/lanes hold
+zeros, the scaled tables vanish there, so zero padding is an invariant of
+the operator AND of every elementwise CG update — whole solves run in this
+layout with no repacking.
 
-Grid = (z-blocks, y-blocks); each step DMAs its halo'd window
-``[BZ+2p, BY+16, nxp]`` into scratch (halo overlap is the only re-read) and
-writes its ``[BZ, BY, nxp]`` output tile back with an explicit DMA.
-
-Specific to the "diag (x) diag (x) band" (GLL collocation) structure of
-BP5/BP6 with p <= 8 (YOFF=8 bounds the y halo); full-Gauss variants use the
-jnp separable path.
+**Z-streaming schedule** (v2): the measured Pallas HBM<->VMEM copy rate on
+the dev chip is ~145 GB/s (4x below the chip's 600 GB/s XLA streaming
+rate), so the kernel is DMA-bound and the old (z, y)-tiled grid paid a
+~2-3.4x halo re-read. Here the grid is (y-blocks, z-blocks) with z
+innermost: per y-column the window *slides* in VMEM — shift down BZ
+planes, append one freshly DMA'd group of BZ planes — so every u plane is
+read from HBM exactly once per y-column (read amplification = only the
+y halo, (BY+16)/BY). Output tiles go back via double-buffered async DMA.
+Requires BZ >= 2p (window overlap fits in the shifted tail).
 """
 
 from __future__ import annotations
@@ -56,9 +55,9 @@ def _round_up(x, m):
 
 
 class StencilLayout:
-    """Padded vector layout + band tables for one (mesh, basis, blocking)."""
+    """Padded vector layout + scaled band tables for one (mesh, basis)."""
 
-    def __init__(self, mesh, basis, dtype, block_z=8, block_y=32, vmem_budget=2 * 2**20):
+    def __init__(self, mesh, basis, dtype, block_z=16, block_y=None, vmem_budget=None):
         from .separable import _bands_from_dense, band_matrix_1d, diag_vector_1d
 
         assert basis.collocation, "stencil kernel requires GLL collocation"
@@ -72,53 +71,60 @@ class StencilLayout:
         self.real_shape = (nz, ny, nx)
 
         nxp = _round_up(nx, 128)
-        BZ = _round_up(max(block_z, 8), 8)
-        # pick BY from the VMEM budget for the window [BZ+2p, BY+16, nxp]
-        if block_y is None:
-            itemsize = self.dtype.itemsize
-            by_max = vmem_budget // ((BZ + 2 * p) * nxp * itemsize) - 16
-            block_y = max(8, by_max // 8 * 8)
-        BY = _round_up(block_y, 8)
+        # z-streaming needs the window overlap (2p planes) to fit in the
+        # shifted tail: BZ >= 2p
+        BZ = _round_up(max(block_z, 2 * p, 8), 8)
         ny_eff = _round_up(ny, 8)
-        BY = min(BY, ny_eff)
+        if block_y is None:
+            # Empirically best on the dev chip (sweep at 12.5M DoFs,
+            # nxp=512): BY=32/SY=32. Mosaic's scoped-VMEM accounting sums
+            # the 2p+1 roll temporaries, so larger y blocks fail to
+            # compile at wide nxp; smaller subtiles run slower.
+            block_y = 32
+        BY = min(_round_up(block_y, 8), ny_eff)
         self.BZ, self.BY = BZ, BY
+        self.SY = min(BY, 32)
 
-        self.nzb = -(-(nz + p) // BZ)  # blocks cover padded rows [0, p+nz)
+        self.nzb = -(-(nz + p) // BZ)  # z blocks cover padded rows [0, p+nz)
         self.nyb = -(-(ny + YOFF) // BY)
         zt = self.nzb * BZ + 2 * p  # window max extent
         yt = self.nyb * BY + 2 * YOFF
         self.padded_shape = (zt, yt, nxp)
         self.n = zt * yt * nxp
 
-        # tables in PADDED coordinates (zeros on all dead rows)
+        # ---------------- tables in PADDED coordinates ---------------- #
+        # symmetric rescaling: B_d = c_d * d^{-1/2} A1_d d^{-1/2},
+        # s_d = sqrt(d) (zeros on all dead rows)
         w, D = basis.q_weights, basis.D
         K_e = np.einsum("q,qa,qb->ab", w, D, D)
-
-        def axis(m, n_real, off, n_to):
-            A1 = band_matrix_1d(m, p, K_e)
-            b = np.zeros((2 * p + 1, n_to))
-            b[:, off : off + n_real] = _bands_from_dense(A1, p)
-            d = np.zeros(n_to)
-            d[off : off + n_real] = diag_vector_1d(m, p, w)
-            return b, d
-
-        bx_b, dx = axis(mx, nx, 0, nxp)
-        by_b, dy = axis(my, ny, YOFF, yt)
-        bz_b, dz = axis(mz, nz, 0, self.nzb * BZ)  # tile coords (real z = row)
-
         hx, hy, hz = mesh.h
         det = hx * hy * hz
-        self.coef = (det / hx**2, det / hy**2, det / hz**2)
+        coef = {"x": det / hx**2, "y": det / hy**2, "z": det / hz**2}
+
+        def axis(m, n_real, off, n_to, c):
+            A1 = band_matrix_1d(m, p, K_e)
+            d = diag_vector_1d(m, p, w)
+            inv_s = 1.0 / np.sqrt(d)  # d > 0 on all real rows
+            B = c * (inv_s[:, None] * A1 * inv_s[None, :])
+            bands = np.zeros((2 * p + 1, n_to))
+            bands[:, off : off + n_real] = _bands_from_dense(B, p)
+            s = np.zeros(n_to)
+            s[off : off + n_real] = np.sqrt(d)
+            return bands, s
+
+        bx_b, sx = axis(mx, nx, 0, nxp, coef["x"])
+        by_b, sy = axis(my, ny, YOFF, yt, coef["y"])
+        bz_b, sz = axis(mz, nz, p, zt, coef["z"])  # padded z coords
+
         dt = self.dtype
-        # Band-table layouts (see _kernel): z sliced on sublanes in tile
-        # coords; y indexed by static tap row then dynamically sliced on
-        # sublanes; x rows are lane vectors behind a leading singleton.
-        self.bz = jnp.asarray(bz_b.T, dt)  # [nzb*BZ, 2p+1]
+        # Band-table layouts (see _kernel): z indexed by padded row
+        # (sliced on the leading dim); y indexed by static tap row then
+        # dynamically sliced on sublanes; x rows are lane vectors.
+        self.bz = jnp.asarray(bz_b.T, dt)  # [zt, 2p+1]
         self.by = jnp.asarray(by_b[:, :, None], dt)  # [2p+1, yt, 1]
         self.bx = jnp.asarray(bx_b[:, None, :], dt)  # [2p+1, 1, nxp]
-        self.dz = jnp.asarray(dz[:, None], dt)  # [nzb*BZ, 1]
-        self.dy = jnp.asarray(dy[:, None], dt)  # [yt, 1]
-        self.dx = jnp.asarray(dx[None, :], dt)  # [1, nxp]
+        self.sz = jnp.asarray(sz[:, None], dt)  # [zt, 1]
+        self.syx = jnp.asarray(sy[:, None] * sx[None, :], dt)  # [yt, nxp]
 
     # -------------------------- vector transfer ----------------------- #
     def pad_flat(self, u: jnp.ndarray) -> jnp.ndarray:
@@ -177,148 +183,159 @@ def _kernel(
     bz_ref,
     by_ref,
     bx_ref,
-    dz_ref,
-    dy_ref,
-    dx_ref,
+    sz_ref,
+    syx_ref,
     out_hbm,
     win,
+    ginc,
     obuf,
-    in_sem,
+    fill_sem,
+    inc_sem,
     out_sem,
     *,
     p: int,
     BZ: int,
     BY: int,
+    SY: int,
     nxp: int,
-    nyb: int,
-    cx: float,
-    cy: float,
-    cz: float,
+    nzb: int,
 ):
-    s = pl.program_id(0)
-    i = s // nyb
-    j = s % nyb
+    j = pl.program_id(0)  # y block (outer)
+    k = pl.program_id(1)  # z block (inner, fastest)
     WZ, WY = BZ + 2 * p, BY + 2 * YOFF
 
-    # window: padded rows [i*BZ, i*BZ+WZ) x [j*BY, j*BY+WY) x all lanes;
-    # the output tile is padded rows [i*BZ+p, ..+BZ) x [j*BY+YOFF, ..+BY).
-    # Windows are double-buffered: step s prefetches step s+1's window
-    # before computing, so the HBM read overlaps the tile compute.
-    def dma_for(step, slot):
-        ii = step // nyb
-        jj = step % nyb
-        return pltpu.make_async_copy(
-            u_hbm.at[pl.ds(ii * BZ, WZ), pl.ds(jj * BY, WY), :],
-            win.at[slot],
-            in_sem.at[slot],
+    # window k = padded planes [k*BZ, k*BZ+WZ), pre-scaled by S; the output
+    # tile is padded planes [k*BZ+p, ..+BZ) x y rows [j*BY+YOFF, ..+BY).
+    def scale_rows(z0, rows):
+        """S-scale freshly loaded planes (padded rows [z0, z0+len))."""
+        return (
+            rows
+            * sz_ref[pl.ds(z0, rows.shape[0]), :][:, :, None]
+            * syx_ref[pl.ds(j * BY, WY), :][None, :, :]
         )
 
-    slot = s % 2
+    def prefetch(kk):
+        # the BZ planes window kk adds on top of window kk-1
+        return pltpu.make_async_copy(
+            u_hbm.at[pl.ds(kk * BZ + 2 * p, BZ), pl.ds(j * BY, WY), :],
+            ginc.at[kk % 2],
+            inc_sem.at[kk % 2],
+        )
 
-    @pl.when(s == 0)
+    @pl.when(k == 0)
     def _():
-        dma_for(0, 0).start()
+        cp = pltpu.make_async_copy(
+            u_hbm.at[pl.ds(0, WZ), pl.ds(j * BY, WY), :], win, fill_sem
+        )
+        cp.start()
+        cp.wait()
+        win[...] = scale_rows(0, win[...])
 
-    @pl.when(s + 1 < pl.num_programs(0))
+    @pl.when(k + 1 < nzb)
     def _():
-        dma_for(s + 1, (s + 1) % 2).start()
+        prefetch(k + 1).start()
 
-    dma_for(s, slot).wait()
-    win = win.at[slot]
+    @pl.when(k > 0)
+    def _():
+        # slide the window: keep the 2p-plane overlap, append the new group
+        win[0 : 2 * p] = win[BZ:WZ]
+        prefetch(k).wait()
+        win[2 * p : WZ] = scale_rows(k * BZ + 2 * p, ginc[k % 2])
 
-    dz_b = dz_ref[pl.ds(i * BZ, BZ), :][:, :, None]  # [BZ,1,1] (tile coords)
-    dy_b = dy_ref[pl.ds(j * BY + YOFF, BY), :][None, :, :]  # [1,BY,1]
-    dx_b = dx_ref[...][None, :, :]  # [1,1,nxp]
-    bz_s = bz_ref[pl.ds(i * BZ, BZ), :]  # [BZ, 2p+1] (tile coords)
+    def out_copy(kk):
+        return pltpu.make_async_copy(
+            obuf.at[kk % 2],
+            out_hbm.at[pl.ds(kk * BZ + p, BZ), pl.ds(j * BY + YOFF, BY), :],
+            out_sem.at[kk % 2],
+        )
 
-    # All three axis stencils run as taps on the VPU; each axis accumulates
-    # in a register/VMEM value and lands in the output tile with one write
-    # (one live accumulator + one tap transient — fits Mosaic's
-    # conservative scoped-VMEM accounting and avoids 33 read-modify-writes
-    # of the tile). Per-tile MXU matmuls were tried and lose: [BZ, WZ]-
-    # sized operands leave the 128x128 systolic array ~1% utilized and the
-    # y-result needs a swap.
-    czz = cz * dy_b * dx_b
-    cyy = cy * dz_b * dx_b
-    cxx = cx * dz_b * dy_b
+    # output slot reuse: wait for the DMA issued two z-steps ago
+    @pl.when(k >= 2)
+    def _():
+        out_copy(k - 2).wait()
 
-    # z taps: leading-dim window slices (free), band columns per tile row
-    acc = win[0:BZ, YOFF : YOFF + BY, :] * bz_s[:, 0][:, None, None]
-    for k in range(1, 2 * p + 1):
-        acc = acc + win[k : k + BZ, YOFF : YOFF + BY, :] * bz_s[:, k][:, None, None]
-    obuf[...] = (czz * acc).astype(obuf.dtype)
+    bz_s = bz_ref[pl.ds(k * BZ + p, BZ), :]  # bands at the output rows
+    oslot = k % 2
 
-    # y taps: static sublane-shifted window slices; tap k reads window rows
-    # (YOFF - p + k + yy) [out row yy sits at window row YOFF + yy]; band
-    # rows at padded coords (by_ref is [2p+1, yt, 1])
-    acc = None
-    for k in range(2 * p + 1):
-        o = YOFF - p + k
-        t = win[p : p + BZ, o : o + BY, :] * by_ref[k, pl.ds(j * BY + YOFF, BY), :][
-            None, :, :
-        ]
-        acc = t if acc is None else acc + t
-    obuf[...] += (cyy * acc).astype(obuf.dtype)
+    for ys in range(0, BY, SY):
+        # all 3(2p+1) taps accumulate into ONE value (the rescaled form
+        # needs no per-axis coefficient combines)
+        acc = win[0:BZ, YOFF + ys : YOFF + ys + SY, :] * bz_s[:, 0][:, None, None]
+        for t in range(1, 2 * p + 1):
+            acc = acc + win[t : t + BZ, YOFF + ys : YOFF + ys + SY, :] * bz_s[
+                :, t
+            ][:, None, None]
+        for t in range(2 * p + 1):
+            o = YOFF - p + t + ys
+            acc = acc + win[p : p + BZ, o : o + SY, :] * by_ref[
+                t, pl.ds(j * BY + YOFF + ys, SY), :
+            ][None, :, :]
+        c_tile = win[p : p + BZ, YOFF + ys : YOFF + ys + SY, :]
+        # x taps: STATIC lane rotates (a dynamic-shift roll lowers to
+        # ~log2(nx) select stages); wrapped lanes are killed by the zero
+        # band entries outside the domain
+        for t in range(2 * p + 1):
+            shift = (p - t) % nxp  # pltpu.roll requires non-negative shifts
+            acc = acc + pltpu.roll(c_tile, shift, 2) * bx_ref[t]
+        # final S scaling at the output coordinates
+        acc = (
+            acc
+            * sz_ref[pl.ds(k * BZ + p, BZ), :][:, :, None]
+            * syx_ref[pl.ds(j * BY + YOFF + ys, SY), :][None, :, :]
+        )
+        obuf[oslot, :, ys : ys + SY, :] = acc.astype(obuf.dtype)
 
-    # x taps: STATIC lane rotates (a dynamic-shift roll lowers to
-    # ~log2(nx) select stages and dominated the kernel). roll by (p-t)
-    # puts u[x + (t-p)] at x; wrapped lanes are killed by the zero band
-    # entries (bx[., x] = 0 whenever tap x+k falls outside the domain).
-    c_tile = win[p : p + BZ, YOFF : YOFF + BY, :]
-    acc = None
-    for t in range(2 * p + 1):
-        shift = (p - t) % nxp  # pltpu.roll requires non-negative shifts
-        r = pltpu.roll(c_tile, shift, 2) * bx_ref[t]
-        acc = r if acc is None else acc + r
-    obuf[...] += (cxx * acc).astype(obuf.dtype)
-    cp_out = pltpu.make_async_copy(
-        obuf,
-        out_hbm.at[pl.ds(i * BZ + p, BZ), pl.ds(j * BY + YOFF, BY), :],
-        out_sem,
-    )
-    cp_out.start()
-    cp_out.wait()
+    out_copy(k).start()
+
+    # end of column: drain the outstanding output DMAs
+    @pl.when(k == nzb - 1)
+    def _():
+        out_copy(k).wait()
+
+        @pl.when(nzb >= 2)
+        def _():
+            out_copy(k - 1).wait()
 
 
 @functools.partial(jax.jit, static_argnames=("layout", "interpret"))
-def _stencil_call(u, bz, by, bx, dz, dy, dx, *, layout: StencilLayout, interpret):
+def _stencil_call(u, bz, by, bx, sz, syx, *, layout: StencilLayout, interpret):
     L = layout
     zt, yt, nxp = L.padded_shape
-    cx, cy, cz = L.coef
+    WZ, WY = L.BZ + 2 * L.p, L.BY + 2 * YOFF
     kernel = functools.partial(
         _kernel,
         p=L.p,
         BZ=L.BZ,
         BY=L.BY,
+        SY=L.SY,
         nxp=nxp,
-        nyb=L.nyb,
-        cx=cx,
-        cy=cy,
-        cz=cz,
+        nzb=L.nzb,
     )
     out = pl.pallas_call(
         kernel,
-        grid=(L.nzb * L.nyb,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        grid=(L.nyb, L.nzb),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((zt, yt, nxp), u.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, L.BZ + 2 * L.p, L.BY + 2 * YOFF, nxp), u.dtype),
-            pltpu.VMEM((L.BZ, L.BY, nxp), u.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((WZ, WY, nxp), u.dtype),
+            pltpu.VMEM((2, L.BZ, WY, nxp), u.dtype),
+            pltpu.VMEM((2, L.BZ, L.BY, nxp), u.dtype),
             pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(u.reshape(L.padded_shape), bz, by, bx, dz, dy, dx)
+    )(u.reshape(L.padded_shape), bz, by, bx, sz, syx)
     return out.reshape(-1)
 
 
 class build_stencil_operator:
     """Callable: flat padded u -> flat padded A_cell_loop(u)."""
 
-    def __init__(self, mesh, basis, dtype, block_z=8, block_y=32, interpret=False):
+    def __init__(self, mesh, basis, dtype, block_z=16, block_y=None, interpret=False):
         self.layout = StencilLayout(mesh, basis, dtype, block_z, block_y)
         self.interpret = interpret
 
@@ -329,9 +346,8 @@ class build_stencil_operator:
             L.bz,
             L.by,
             L.bx,
-            L.dz,
-            L.dy,
-            L.dx,
+            L.sz,
+            L.syx,
             layout=L,
             interpret=self.interpret,
         )
