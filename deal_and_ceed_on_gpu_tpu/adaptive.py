@@ -1,0 +1,296 @@
+"""Adaptive (2:1-refined) meshes with hanging-node constraints.
+
+TPU-native equivalent of the reference's adaptive-mesh support: deal.II's
+``make_hanging_node_constraints`` (reference L-15) plus the device-side
+``internal::resolve_hanging_nodes`` hooks in the collocation evaluator
+(``bp5/fe_evaluation_gl.h:150-151,167-168``, consumed via the per-cell
+``constraint_mask`` from MatrixFree L-1). Where the CUDA code applies the
+interpolation in-place on each element's shared-memory values (and its
+transpose on the scatter side), the TPU formulation keeps the whole
+constraint application **global and dense-indexed**: one weighted gather
+fills hanging DoFs from their coarse-side masters before the cell loop
+(``distribute``), one weighted segment-sum accumulates hanging residuals
+back onto the masters after it (``condense`` — the transpose), and
+constrained rows act as identity. The effective operator is the standard
+``C^T A C`` on the conforming subspace — identical algebra, no per-cell
+masks, no atomics, bitwise deterministic.
+
+Scope: one level of isotropic 2:1 refinement of a uniform brick (coarse
+cells + 8-child refined cells), zero Dirichlet boundary, Q_p with GLL
+nodes. Host-side setup is plain numpy over the (tiny, test-scale) cell
+lists; the apply itself is the regular batched gather cell loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import cached_property
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .basis import Basis1D, lagrange_eval
+from .mesh import BrickMesh
+from .ops import local_global as lg
+from .ops import sum_factorization as sf
+
+__all__ = ["AdaptiveMesh", "AdaptivePoissonOperator", "assemble_rhs_adaptive"]
+
+_TOL = 1e-9
+
+
+def _key(x):
+    return tuple(np.round(np.asarray(x, dtype=np.float64) / _TOL).astype(np.int64))
+
+
+@dataclasses.dataclass(frozen=True)
+class AdaptiveMesh:
+    """Active cells of a once-refined brick: ``cells[i] = (origin, h,
+    level)`` with ``h`` the (isotropic per-axis) cell extents."""
+
+    origins: np.ndarray  # [n_cells, 3]
+    sizes: np.ndarray  # [n_cells, 3]
+    levels: np.ndarray  # [n_cells]
+    lower: tuple
+    upper: tuple
+
+    @staticmethod
+    def refine(base: BrickMesh, marks) -> "AdaptiveMesh":
+        """Refine the marked coarse cells of a uniform brick once (8
+        children each). One level guarantees the 2:1 balance deal.II gets
+        from p4est."""
+        assert base.is_uniform and not base.is_mapped
+        mx, my, mz = base.n_elements
+        hx, hy, hz = base.h
+        marks = np.asarray(marks)
+        if marks.dtype == bool:
+            marks = np.flatnonzero(marks)
+        marked = set(int(m) for m in marks)
+        origins, sizes, levels = [], [], []
+        for e in range(base.n_cells):
+            ez, rem = divmod(e, my * mx)
+            ey, ex = divmod(rem, mx)
+            o = np.array(
+                [
+                    base.lower[0] + ex * hx,
+                    base.lower[1] + ey * hy,
+                    base.lower[2] + ez * hz,
+                ]
+            )
+            if e in marked:
+                for cz in range(2):
+                    for cy in range(2):
+                        for cx in range(2):
+                            origins.append(
+                                o + 0.5 * np.array([cx * hx, cy * hy, cz * hz])
+                            )
+                            sizes.append(0.5 * np.array([hx, hy, hz]))
+                            levels.append(1)
+            else:
+                origins.append(o)
+                sizes.append(np.array([hx, hy, hz]))
+                levels.append(0)
+        return AdaptiveMesh(
+            np.asarray(origins),
+            np.asarray(sizes),
+            np.asarray(levels),
+            base.lower,
+            base.upper,
+        )
+
+    @property
+    def n_cells(self) -> int:
+        return self.origins.shape[0]
+
+
+class AdaptiveSpace:
+    """DoF handler + hanging-node constraints for an AdaptiveMesh.
+
+    DoFs = unique nodal points over all active cells. A node is *hanging*
+    iff it lies on the closure of a coarse active cell without being one
+    of its nodes; its masters are that coarse cell's nodes with tensor
+    Lagrange weights (nonzero only on the shared face/edge)."""
+
+    def __init__(self, mesh: AdaptiveMesh, degree: int, dtype=jnp.float64):
+        self.mesh = mesh
+        self.degree = degree
+        self.dtype = jnp.dtype(dtype)
+        self.basis = Basis1D.make(degree, rule="gauss_lobatto")
+        p1 = degree + 1
+        gll = self.basis.nodes
+
+        # ---- global DoF ids by unique nodal coordinates ----
+        coords: list[np.ndarray] = []
+        ids: dict[tuple, int] = {}
+        n_cells = mesh.n_cells
+        dof_map = np.empty((n_cells, p1**3), dtype=np.int64)
+        cell_nodes: list[set] = []
+        for e in range(n_cells):
+            o, h = mesh.origins[e], mesh.sizes[e]
+            xs = o[0] + h[0] * gll
+            ys = o[1] + h[1] * gll
+            zs = o[2] + h[2] * gll
+            loc = 0
+            nodes_here = set()
+            for k in range(p1):
+                for j in range(p1):
+                    for i in range(p1):
+                        x = (xs[i], ys[j], zs[k])
+                        kk = _key(x)
+                        g = ids.get(kk)
+                        if g is None:
+                            g = len(coords)
+                            ids[kk] = g
+                            coords.append(np.asarray(x))
+                        dof_map[e, loc] = g
+                        nodes_here.add(g)
+                        loc += 1
+            cell_nodes.append(nodes_here)
+        self.n_dofs = len(coords)
+        self.node_coords = np.asarray(coords)
+        self.elem_dof_map = jnp.asarray(dof_map.astype(np.int32))
+        self._dof_map_np = dof_map
+
+        # ---- hanging-node constraints ----
+        hang_rows, hang_cols, hang_w = [], [], []
+        hanging = np.zeros(self.n_dofs, dtype=bool)
+        coarse = [e for e in range(n_cells) if mesh.levels[e] == 0]
+        for g in range(self.n_dofs):
+            x = self.node_coords[g]
+            for e in coarse:
+                if g in cell_nodes[e]:
+                    continue
+                o, h = mesh.origins[e], mesh.sizes[e]
+                t = (x - o) / h
+                if np.all(t > -_TOL) and np.all(t < 1.0 + _TOL):
+                    # x on the closure of coarse cell e but not a node of
+                    # it -> hanging; tensor interpolation from e's nodes
+                    wloc = np.ones((p1, p1, p1))
+                    for d, td in enumerate(t):
+                        S, _ = lagrange_eval(gll, np.array([np.clip(td, 0, 1)]))
+                        wd = S[0]
+                        shape = [1, 1, 1]
+                        shape[2 - d] = p1  # local order (k, j, i) = (z, y, x)
+                        wloc = wloc * wd.reshape(shape)
+                    wflat = wloc.reshape(-1)
+                    nz = np.abs(wflat) > 1e-12
+                    hanging[g] = True
+                    hang_rows.extend([g] * int(nz.sum()))
+                    hang_cols.extend(dof_map[e][nz].tolist())
+                    hang_w.extend(wflat[nz].tolist())
+                    break
+        self.hanging_mask_np = hanging
+        self.hang_rows = jnp.asarray(np.asarray(hang_rows, dtype=np.int32))
+        self.hang_cols = jnp.asarray(np.asarray(hang_cols, dtype=np.int32))
+        self.hang_w = jnp.asarray(np.asarray(hang_w), dtype=self.dtype)
+
+        # ---- Dirichlet boundary (whole domain boundary) ----
+        lo = np.asarray(mesh.lower)
+        up = np.asarray(mesh.upper)
+        on_b = np.zeros(self.n_dofs, dtype=bool)
+        for d in range(3):
+            on_b |= np.abs(self.node_coords[:, d] - lo[d]) < _TOL
+            on_b |= np.abs(self.node_coords[:, d] - up[d]) < _TOL
+        self.boundary_mask_np = on_b
+        # all constrained rows act as identity in vmult
+        self.constrained_mask_np = on_b | hanging
+        self.constrained_mask = jnp.asarray(self.constrained_mask_np)
+        self.hanging_mask = jnp.asarray(hanging)
+
+    # ------------------- constraint application ---------------------- #
+    def distribute(self, u: jnp.ndarray) -> jnp.ndarray:
+        """Fill hanging DoFs from their masters (deal.II
+        ``constraints.distribute`` / the forward ``resolve_hanging_nodes``)."""
+        if self.hang_rows.size == 0:
+            return u
+        vals = jax.ops.segment_sum(
+            self.hang_w * u[self.hang_cols], self.hang_rows, self.n_dofs
+        )
+        return jnp.where(self.hanging_mask, vals, u)
+
+    def condense(self, v: jnp.ndarray) -> jnp.ndarray:
+        """Accumulate hanging residuals onto masters and zero the hanging
+        rows (the transpose application on the scatter side,
+        ``bp5/fe_evaluation_gl.h:167-168``)."""
+        if self.hang_rows.size == 0:
+            return v
+        add = jax.ops.segment_sum(
+            self.hang_w * v[self.hang_rows], self.hang_cols, self.n_dofs
+        )
+        v = v + add
+        return jnp.where(self.hanging_mask, jnp.zeros((), v.dtype), v)
+
+    def constraint_matrix(self):
+        """scipy C with u_full = C u (identity on real DoFs, interpolation
+        rows on hanging DoFs) — oracle/test use."""
+        import scipy.sparse as sp
+
+        n = self.n_dofs
+        eye_rows = np.flatnonzero(~self.hanging_mask_np)
+        rows = np.concatenate([eye_rows, np.asarray(self.hang_rows)])
+        cols = np.concatenate([eye_rows, np.asarray(self.hang_cols)])
+        vals = np.concatenate([np.ones(eye_rows.size), np.asarray(self.hang_w)])
+        return sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+
+
+class AdaptivePoissonOperator:
+    """Matrix-free Poisson vmult on an adaptive space (gather backend):
+
+        zero constrained -> distribute (hanging interpolation) -> gather
+        -> sum-factorized cell apply (per-cell diagonal Jacobians)
+        -> scatter-add -> condense (transpose) -> identity on constrained
+    """
+
+    def __init__(self, space: AdaptiveSpace):
+        self.space = space
+        b = space.basis
+        self.S = jnp.asarray(b.S, dtype=space.dtype)
+        self.D = jnp.asarray(b.D, dtype=space.dtype)
+        h = space.mesh.sizes  # [E, 3]
+        det = h.prod(axis=1)
+        md = np.stack([det / h[:, 0] ** 2, det / h[:, 1] ** 2, det / h[:, 2] ** 2], -1)
+        w = b.q_weights
+        w3 = (w[:, None, None] * w[None, :, None] * w[None, None, :])[None]
+        self._cw = tuple(
+            jnp.asarray(md[:, d, None, None, None] * w3, dtype=space.dtype)
+            for d in range(3)
+        )
+        self._jxw = jnp.asarray(det[:, None, None, None] * w3, dtype=space.dtype)
+
+    def apply_cell_loop(self, u: jnp.ndarray) -> jnp.ndarray:
+        s = self.space
+        ul = lg.gather_indexed(u, s.elem_dof_map, s.degree)
+        _, grads = sf.evaluate(ul, self.S, self.D, (1, 2, 3), False, True, True)
+        gx, gy, gz = grads
+        cx, cy, cz = self._cw
+        vl = sf.integrate(None, (gx * cx, gy * cy, gz * cz), self.S, self.D, (1, 2, 3), True)
+        return lg.scatter_indexed(vl, s.elem_dof_map, s.n_dofs)
+
+    def vmult(self, src: jnp.ndarray) -> jnp.ndarray:
+        s = self.space
+        u = jnp.where(s.constrained_mask, jnp.zeros((), src.dtype), src)
+        u = s.distribute(u)
+        dst = self.apply_cell_loop(u)
+        dst = s.condense(dst)
+        return jnp.where(s.constrained_mask, src, dst)
+
+    def __call__(self, src):
+        return self.vmult(src)
+
+    def diagonal(self) -> jnp.ndarray:
+        return jnp.ones((self.space.n_dofs,), dtype=self.space.dtype)
+
+
+def assemble_rhs_adaptive(space: AdaptiveSpace, f: float = 1.0) -> jnp.ndarray:
+    """b_i = integral(f phi_i) over the adaptive mesh, condensed onto the
+    conforming subspace and zeroed on constrained rows."""
+    op = AdaptivePoissonOperator(space)
+    q1 = space.basis.n_q
+    integrand = jnp.broadcast_to(
+        f * op._jxw, (space.mesh.n_cells, q1, q1, q1)
+    ).astype(space.dtype)
+    vl = sf.integrate(integrand, None, op.S, op.D, (1, 2, 3), True)
+    b = lg.scatter_indexed(vl, space.elem_dof_map, space.n_dofs)
+    b = space.condense(b)
+    return jnp.where(space.constrained_mask, jnp.zeros((), b.dtype), b)
