@@ -51,6 +51,12 @@ class HelmholtzOperator(MatrixFreeOperator):
             from ..ops.separable import poisson_terms
 
             super().__init__(space, backend)
+            # the assembled a(x)*JxW diagonal depends on the block's
+            # physical position and cannot be sliced per shard
+            self._dist_unsupported = (
+                "separable Helmholtz has a position-dependent global "
+                "diagonal; use backend='structured' for distribution"
+            )
             geo = space.geometry
             xq = geo.q_points_phys()
             a_q = np.asarray(coefficient_fn(xq), dtype=np.float64)

@@ -38,6 +38,7 @@ __all__ = [
     "band_matrix_1d",
     "diag_vector_1d",
     "apply_separable",
+    "apply_separable_plane",
     "band_apply",
     "poisson_terms",
     "mass_terms",
@@ -119,6 +120,57 @@ def apply_separable(
             v = band_apply(v, mat, bands, axis, mode, p)
         if t["diag"] is not None:
             v = v * t["diag"]
+        v = t["coef"] * v
+        out = v if out is None else out + v
+    return out
+
+
+def apply_separable_plane(
+    u: jnp.ndarray,
+    terms: Sequence[dict],
+    axis: int,
+    side: int,
+    mode: Literal["matmul", "stencil"] = "matmul",
+):
+    """The first (``side == 0``) or last (``side == -1``) output plane of
+    :func:`apply_separable` along ``axis``, computed from only the p+1
+    nearest input planes — one plane's worth of work instead of a full
+    apply. This is the distributed boundary-partial fast path: the shared
+    plane a shard must send depends only on this restricted computation,
+    so the halo ``ppermute`` can be issued *before* (and overlap with) the
+    full local apply (the reference's
+    ``overlap_communication_computation``, ``bp5/step-64.cu:241``).
+    Returns a plane with ``keepdims`` (size 1 along ``axis``)."""
+    n = u.shape[axis]
+    out = None
+    for t in terms:
+        on_axis = [b for b in t["band"] if b[0] == axis]
+        others = [b for b in t["band"] if b[0] != axis]
+        if on_axis:
+            _, mat, _, p = on_axis[0]
+            sl = [slice(None)] * u.ndim
+            if side == 0:
+                sl[axis] = slice(0, p + 1)
+                row = mat[0, 0 : p + 1]
+            else:
+                sl[axis] = slice(n - p - 1, n)
+                row = mat[n - 1, n - p - 1 : n]
+            shape = [1] * u.ndim
+            shape[axis] = p + 1
+            v = jnp.sum(u[tuple(sl)] * row.reshape(shape), axis=axis, keepdims=True)
+        else:
+            sl = [slice(None)] * u.ndim
+            sl[axis] = slice(0, 1) if side == 0 else slice(n - 1, n)
+            v = u[tuple(sl)]
+        for ax2, mat2, bands2, p2 in others:
+            v = band_apply(v, mat2, bands2, ax2, mode, p2)
+        if t["diag"] is not None:
+            d = t["diag"]
+            if d.ndim == u.ndim and d.shape[axis] == n:
+                dsl = [slice(None)] * u.ndim
+                dsl[axis] = slice(0, 1) if side == 0 else slice(n - 1, n)
+                d = d[tuple(dsl)]
+            v = v * d
         v = t["coef"] * v
         out = v if out is None else out + v
     return out

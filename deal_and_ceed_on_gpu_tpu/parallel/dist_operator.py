@@ -90,6 +90,9 @@ class DistOperator:
         # interior planes are complete and exactly the shared planes carry
         # cross-shard partials (combined in halo_combine).
         self._local_op = op_cls(self.space, backend=backend, **op_kwargs)
+        reason = getattr(self._local_op, "_dist_unsupported", None)
+        if reason:
+            raise ValueError(f"{op_cls.__name__}: {reason}")
         self._table_names = self._local_op.shard_table_names()
         if self._table_names:
             if backend != "structured":
@@ -129,9 +132,95 @@ class DistOperator:
                 for name, t in zip(self._table_names, tables)
             }
             op = op.bind_shard_tables(squeezed)
-        dst = op.apply_cell_loop(us.reshape(-1)).reshape(u.shape)
-        dst = halo_combine(dst, part)
+        if op._sep_terms is not None and (part.pz > 1 or part.py > 1):
+            dst = self._vmult_overlap(us, op)
+        else:
+            dst = op.apply_cell_loop(us.reshape(-1)).reshape(u.shape)
+            dst = halo_combine(dst, part)
         return jnp.where(mask, u, dst)
+
+    def _vmult_overlap(self, us: jnp.ndarray, op) -> jnp.ndarray:
+        """Communication/computation-overlapped apply (separable backend):
+        the shared-plane partials a shard must send are computed first via
+        restricted plane applies (one plane's work each), the halo
+        ``ppermute``s are issued on those, and the full local apply — which
+        does not depend on any received data — runs while they fly. XLA's
+        latency-hiding scheduler places the independent full apply between
+        ``collective-permute-start`` and ``-done`` (verified on an AOT
+        v5e:2x4 compile; see ARCHITECTURE.md). The reference engineers the
+        same overlap with split interior/boundary cell batches
+        (``overlap_communication_computation``, ``bp5/step-64.cu:241``)."""
+        from ..ops.separable import apply_separable, apply_separable_plane
+
+        part = self.part
+        terms, mode = op._sep_terms, op.sep_mode
+        sets = []  # (index expression, combined boundary value)
+
+        # Bitwise duplicate coherence is preserved: every shared entity's
+        # final value is assembled from the SAME bit-identical owner
+        # partials in the SAME position-sorted association on all sharers
+        # (2-term sums are commutative; 4-term corner sums pair
+        # lower-position with lower-position).
+        if part.pz > 1:
+            up = [(k, k + 1) for k in range(part.pz - 1)]
+            down = [(k + 1, k) for k in range(part.pz - 1)]
+            pz_first = apply_separable_plane(us, terms, 0, 0, mode)
+            pz_last = apply_separable_plane(us, terms, 0, -1, mode)
+            from_prev_z = lax.ppermute(pz_last, part.axis_z, up)
+            from_next_z = lax.ppermute(pz_first, part.axis_z, down)
+            sets.append(((slice(0, 1), slice(None)), from_prev_z + pz_first))
+            sets.append(((slice(-1, None), slice(None)), pz_last + from_next_z))
+        if part.py > 1:
+            upy = [(k, k + 1) for k in range(part.py - 1)]
+            downy = [(k + 1, k) for k in range(part.py - 1)]
+            py_first = apply_separable_plane(us, terms, 1, 0, mode)
+            py_last = apply_separable_plane(us, terms, 1, -1, mode)
+            from_prev_y = lax.ppermute(py_last, part.axis_y, upy)
+            from_next_y = lax.ppermute(py_first, part.axis_y, downy)
+            sets.append(((slice(None), slice(0, 1)), from_prev_y + py_first))
+            sets.append(((slice(None), slice(-1, None)), py_last + from_next_y))
+        if part.pz > 1 and part.py > 1:
+            # Corner lines shared by four diagonal neighbors: all four
+            # quadrant partials are used in their z-plane (pz_*) version —
+            # the z-neighbor's arrives inside its z-plane, the y-neighbor's
+            # via two extra corner-line permutes, the diagonal's via a
+            # chained two-hop permute.
+            def diag_recv(x, zpairs, ypairs):
+                return lax.ppermute(
+                    lax.ppermute(x, part.axis_y, ypairs), part.axis_z, zpairs
+                )
+
+            d00 = diag_recv(pz_last[:, -1:], up, upy)  # from (iz-1, iy-1)
+            d01 = diag_recv(pz_last[:, :1], up, downy)  # from (iz-1, iy+1)
+            d10 = diag_recv(pz_first[:, -1:], down, upy)  # from (iz+1, iy-1)
+            d11 = diag_recv(pz_first[:, :1], down, downy)  # from (iz+1, iy+1)
+            # y-neighbors' z-corner partials (pz-version), batched per dir
+            yl_up = jnp.concatenate([pz_first[:, -1:], pz_last[:, -1:]], axis=0)
+            yl_dn = jnp.concatenate([pz_first[:, :1], pz_last[:, :1]], axis=0)
+            from_prev_yl = lax.ppermute(yl_up, part.axis_y, upy)  # (iz, iy-1)
+            from_next_yl = lax.ppermute(yl_dn, part.axis_y, downy)  # (iz, iy+1)
+
+            sets.append((
+                (slice(0, 1), slice(0, 1)),
+                (d00 + from_prev_z[:, :1]) + (from_prev_yl[0:1] + pz_first[:, :1]),
+            ))
+            sets.append((
+                (slice(0, 1), slice(-1, None)),
+                (from_prev_z[:, -1:] + d01) + (pz_first[:, -1:] + from_next_yl[0:1]),
+            ))
+            sets.append((
+                (slice(-1, None), slice(0, 1)),
+                (from_prev_yl[1:2] + pz_last[:, :1]) + (d10 + from_next_z[:, :1]),
+            ))
+            sets.append((
+                (slice(-1, None), slice(-1, None)),
+                (pz_last[:, -1:] + from_next_yl[1:2]) + (from_next_z[:, -1:] + d11),
+            ))
+
+        dst = apply_separable(us, terms, mode)  # independent of the permutes
+        for slot, val in sets:
+            dst = dst.at[slot].set(val)
+        return dst
 
     def dot_weight(self, dtype):
         part = self.part

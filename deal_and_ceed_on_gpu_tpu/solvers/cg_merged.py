@@ -21,7 +21,13 @@ fused ``psum`` over ICI.
 ``deferred_x_update=True`` implements the Kronbichler data-locality scheme
 (``OPTIMIZED_UPDATE``, ``bp5/solver.h:106-140,509-526``; cf. arXiv
 2205.08909): x is touched only every second iteration via the merged
-two-step formula
+two-step formula. **Default False on XLA**: measured on the v5e dev chip
+(p=5, 200 fixed iterations, separable vmult), the parity ``lax.cond``
+phases break XLA's loop-body fusion and cost more than the skipped
+x-writes save — 3.1M DoFs: plain 9.13 / standard 8.59 / deferred 7.72
+GDoF/s; 12.5M: all within 2.5%. The scheme is kept (and parity-tested)
+because it is the reference's centerpiece trick and the tradeoff flips on
+hand-scheduled kernels.
 
     x += (a_j + a_{j-1}/b_{j-1}) d_j + (a_{j-1}/b_{j-1}) * diag * g_{j-1}
 
@@ -55,7 +61,7 @@ def solve_cg_merged(
     control: SolverControl,
     diag: Optional[jnp.ndarray] = None,
     x0: Optional[jnp.ndarray] = None,
-    deferred_x_update: bool = True,
+    deferred_x_update: bool = False,
     dot_dtype=None,
     dot_weight: Optional[jnp.ndarray] = None,
     psum_axis: Optional[str] = None,

@@ -60,3 +60,34 @@ def test_write_solution_vtr(tmp_path):
     u = jnp.zeros(space.n_dofs)
     p = write_solution_vtr(tmp_path / "sol.vtr", space, u)
     assert p.exists() if hasattr(p, "exists") else True
+
+
+def test_write_solution_vts_mapped(tmp_path):
+    """Mapped meshes dispatch to the curvilinear .vts writer; the file
+    carries the deformed point coordinates and the field values."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deal_and_ceed_on_gpu_tpu import BrickMesh, FESpace, shear_map
+    from deal_and_ceed_on_gpu_tpu.utils.vtk import write_solution_vtr
+
+    phi, jac = shear_map(0.3)
+    mesh = BrickMesh((2, 2, 2)).deform(phi, jac)
+    space = FESpace.create(mesh, 2, dtype=jnp.float64)
+    u = np.arange(space.n_dofs, dtype=np.float64)
+    path = write_solution_vtr(tmp_path / "sol.vts", space, jnp.asarray(u))
+    data = open(path, "rb").read()
+    assert b"StructuredGrid" in data
+    # values blob is intact after the header marker
+    i = data.index(b'<AppendedData encoding="raw">\n_') + len(
+        b'<AppendedData encoding="raw">\n_'
+    )
+    import struct
+
+    nbytes = struct.unpack("<Q", data[i : i + 8])[0]
+    vals = np.frombuffer(data[i + 8 : i + 8 + nbytes])
+    np.testing.assert_array_equal(vals, u)
+    j = i + 8 + nbytes
+    npts = struct.unpack("<Q", data[j : j + 8])[0] // 24
+    pts = np.frombuffer(data[j + 8 : j + 8 + npts * 24]).reshape(-1, 3)
+    np.testing.assert_allclose(pts, space.node_coords(), atol=1e-14)
