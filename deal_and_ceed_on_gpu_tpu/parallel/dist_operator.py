@@ -77,9 +77,11 @@ class DistOperator:
         backend: str = "separable",
         rule: str = "gauss_lobatto",
         n_q: Optional[int] = None,
+        n_components: int = 1,
         **op_kwargs,
     ):
         self.part = part
+        self.n_components = n_components
         self.space = FESpace.create(
             part.local_mesh, part.degree, n_q=n_q, rule=rule, dtype=dtype
         )
@@ -119,7 +121,12 @@ class DistOperator:
     def vmult_local(self, u: jnp.ndarray, *tables: jnp.ndarray) -> jnp.ndarray:
         """Per-shard apply; ``tables`` are this shard's slices of
         :attr:`shard_tables` (leading stack axis already consumed by
-        shard_map, may keep a leading length-1 axis)."""
+        shard_map, may keep a leading length-1 axis). Vector-valued
+        (``n_components > 1``) inputs carry a leading component axis and
+        are vmapped over it — the components share all metric tables
+        (reference BP2/BP4/BP6 structure)."""
+        if u.ndim == 4:
+            return jax.vmap(lambda c: self.vmult_local(c, *tables))(u)
         part = self.part
         iz = lax.axis_index(part.axis_z)
         iy = lax.axis_index(part.axis_y)

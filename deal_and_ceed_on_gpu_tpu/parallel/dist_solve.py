@@ -54,6 +54,15 @@ def _table_specs(dist_op: DistOperator):
     )
 
 
+def _grid_spec(dist_op: DistOperator) -> P:
+    """Operand spec: [nz, ny, nx] blocks, or [C, nz, ny, nx] for
+    vector-valued operators (components replicated-free leading axis)."""
+    part = dist_op.part
+    if getattr(dist_op, "n_components", 1) > 1:
+        return P(None, part.axis_z, part.axis_y, None)
+    return P(part.axis_z, part.axis_y, None)
+
+
 def make_dist_solver(
     solver_fn,
     dist_op: DistOperator,
@@ -73,7 +82,7 @@ def make_dist_solver(
 
     part = dist_op.part
     az, ay = part.axis_z, part.axis_y
-    grid_spec = P(az, ay, None)
+    grid_spec = _grid_spec(dist_op)
 
     def local_solve(b_loc, diag_loc, *tables):
         w = dist_op.dot_weight(b_loc.dtype)
@@ -129,8 +138,7 @@ def make_dist_vmult(dist_op: DistOperator, mesh: Optional[Mesh] = None):
     cached = dist_op._solver_cache.get(key)
     if cached is not None:
         return cached
-    part = dist_op.part
-    grid_spec = P(part.axis_z, part.axis_y, None)
+    grid_spec = _grid_spec(dist_op)
     shmapped = jax.shard_map(
         dist_op.vmult_local,
         mesh=mesh,
@@ -143,7 +151,10 @@ def make_dist_vmult(dist_op: DistOperator, mesh: Optional[Mesh] = None):
 
 
 def _coerce_flat(dist_op: DistOperator, b_stacked: jnp.ndarray) -> jnp.ndarray:
-    return jnp.asarray(b_stacked).reshape(dist_op.part.flat_grid_shape)
+    shape = dist_op.part.flat_grid_shape
+    if getattr(dist_op, "n_components", 1) > 1:
+        shape = (dist_op.n_components,) + shape
+    return jnp.asarray(b_stacked).reshape(shape)
 
 
 def solve_cg_merged_dist(

@@ -137,7 +137,15 @@ class BlockPartition:
     def to_blocks(self, u_global: np.ndarray) -> np.ndarray:
         """``[nz, ny, nx]`` global nodal grid -> ``flat_grid_shape`` array
         whose (iz, iy) block holds that shard's ghosted local grid
-        (padding beyond the physical extent is zero)."""
+        (padding beyond the physical extent is zero). A leading component
+        axis (vector-valued operators) passes through."""
+        u_global = np.asarray(u_global)
+        n_glob = int(np.prod(self.global_grid_shape))
+        if u_global.ndim == 4 or (
+            u_global.ndim == 2 and u_global.shape[1] == n_glob
+        ):
+            comps = u_global.reshape(u_global.shape[0], *self.global_grid_shape)
+            return np.stack([self.to_blocks(c) for c in comps])
         nz, ny, nx = self.global_grid_shape
         nzl, nyl, _ = self.local_grid_shape
         u = np.asarray(u_global).reshape(nz, ny, nx)
@@ -155,7 +163,10 @@ class BlockPartition:
 
     def from_blocks(self, blocks: np.ndarray) -> np.ndarray:
         """Inverse of :meth:`to_blocks` (drops duplicated ghost planes and
-        dead padding)."""
+        dead padding); a leading component axis passes through."""
+        blocks = np.asarray(blocks)
+        if blocks.ndim == 4 and blocks.shape[1:] == self.flat_grid_shape:
+            return np.stack([self.from_blocks(c) for c in blocks])
         nz, ny, nx = self.global_grid_shape
         nzl, nyl, _ = self.local_grid_shape
         b = np.asarray(blocks).reshape(self.flat_grid_shape)

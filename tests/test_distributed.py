@@ -196,6 +196,41 @@ def test_dist_cg_2d_uneven_with_jacobi():
     )
 
 
+def test_dist_vector_operator_matches_single():
+    """Vector-valued (BP6-style, 3 components sharing metric terms)
+    distributed solve == single-device VectorOperator solve."""
+    from deal_and_ceed_on_gpu_tpu.models import VectorOperator
+    from deal_and_ceed_on_gpu_tpu.parallel import (
+        BlockPartition,
+        DistOperator,
+        make_device_mesh,
+    )
+
+    p = 2
+    mesh = BrickMesh((2, 3, 5))
+    space = FESpace.create(mesh, p, dtype=jnp.float64)
+    scalar_op = PoissonOperator(space)
+    vop = VectorOperator(scalar_op, 3)
+    b1 = assemble_rhs(space, 1.0)
+    rng = np.random.default_rng(4)
+    scale = jnp.asarray(rng.uniform(0.5, 2.0, size=(3, 1)))
+    b = scale * b1[None, :]  # distinct RHS per component
+    control = SolverControl(300, 1e-10)
+    x_single, info_single = solve_cg_merged(vop.vmult, b, control)
+
+    part = BlockPartition(mesh, p, pz=2, py=2)
+    dist_op = DistOperator(part, dtype=jnp.float64, n_components=3)
+    b_blocks = jnp.asarray(part.to_blocks(np.asarray(b)))
+    x_blocks, info = solve_cg_merged_dist(
+        dist_op, b_blocks, control, mesh=make_device_mesh(2, 2)
+    )
+    assert int(info["n_iterations"]) == int(info_single["n_iterations"])
+    x = part.from_blocks(np.asarray(x_blocks))
+    np.testing.assert_allclose(
+        x.reshape(3, -1), np.asarray(x_single), rtol=1e-10, atol=1e-12
+    )
+
+
 def test_dist_solver_is_cached():
     """The jitted SPMD solver is built once and reused (no per-call
     retracing in timed loops)."""
