@@ -24,7 +24,6 @@ lists; the apply itself is the regular batched gather cell loop.
 from __future__ import annotations
 
 import dataclasses
-from functools import cached_property
 
 import jax
 import jax.numpy as jnp
@@ -147,8 +146,35 @@ class AdaptiveSpace:
                         nodes_here.add(g)
                         loc += 1
             cell_nodes.append(nodes_here)
-        self.n_dofs = len(coords)
-        self.node_coords = np.asarray(coords)
+
+        # Bucket-keyed dedupe can split two fp representations of the same
+        # geometric node across adjacent 1e-9 buckets; merge any remaining
+        # near-duplicates with a true tolerance query.
+        coords_arr = np.asarray(coords)
+        from scipy.spatial import cKDTree
+
+        pairs = cKDTree(coords_arr).query_pairs(10 * _TOL)
+        if pairs:
+            parent = np.arange(len(coords))
+
+            def find(i):
+                while parent[i] != i:
+                    parent[i] = parent[parent[i]]
+                    i = parent[i]
+                return i
+
+            for a, b in pairs:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            roots = np.array([find(i) for i in range(len(coords))])
+            uniq, new_ids = np.unique(roots, return_inverse=True)
+            coords_arr = coords_arr[uniq]
+            dof_map = new_ids[dof_map]
+            cell_nodes = [set(new_ids[list(s)]) for s in cell_nodes]
+
+        self.n_dofs = coords_arr.shape[0]
+        self.node_coords = coords_arr
         self.elem_dof_map = jnp.asarray(dof_map.astype(np.int32))
         self._dof_map_np = dof_map
 

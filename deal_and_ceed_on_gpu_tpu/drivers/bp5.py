@@ -212,6 +212,7 @@ def run_cycle_distributed(
         DistOperator,
         make_device_mesh,
         make_dist_vmult,
+        solve_cg_dist,
         solve_cg_merged_dist,
     )
 
@@ -234,6 +235,20 @@ def run_cycle_distributed(
     )
     devmesh = make_device_mesh(pz, py)
     results = {}
+
+    if "pcg-standard" in cfg.modes:
+        x, info = solve_cg_dist(dist_op, b_stacked, control, mesh=devmesh)
+        jax.block_until_ready(x)
+        times, iters = [], []
+        for _ in range(cfg.n_repetitions):
+            t = Timer().start()
+            x, info = solve_cg_dist(dist_op, b_stacked, control, mesh=devmesh)
+            t.stop(fence=x)
+            times.append(t.elapsed)
+            iters.append(int(info["n_iterations"]))
+        results["pcg-standard"] = _throughput_lines(
+            "pcg-standard", space.n_dofs, times, iters, n_ranks=n_shards
+        )
 
     if "pcg-merged" in cfg.modes:
         x, info = solve_cg_merged_dist(dist_op, b_stacked, control, mesh=devmesh)

@@ -126,11 +126,13 @@ class Geometry:
     # mapped (deformed) meshes: isoparametric Jacobian tables
     # ---------------------------------------------------------------- #
     @cached_property
-    def _mapped_tables(self) -> tuple[np.ndarray, np.ndarray]:
-        """(x_q ``[E, n_q, 3]``, J ``[E, n_q, 3, 3]``) for a mapped mesh:
-        physical quadrature points and Jacobians ``J[c, r] = d x_c / d xi_r``
-        (xi = the element's unit reference coordinate) of the degree-p
-        isoparametric interpolant of the deformation."""
+    def _mapped_tables(self):
+        """(x_q ``[E, n_q, 3]``, J ``[E, n_q, 3, 3]``, det ``[E, n_q]``,
+        J^{-1} ``[E, n_q, 3, 3]``) for a mapped mesh: physical quadrature
+        points and Jacobians ``J[c, r] = d x_c / d xi_r`` (xi = the
+        element's unit reference coordinate) of the degree-p isoparametric
+        interpolant of the deformation. Dets/inverses are computed once
+        here and reused by every table builder."""
         mesh, basis = self.mesh, self.basis
         p1, q1 = basis.n_dofs, basis.n_q
         mx, my, mz = mesh.n_elements
@@ -166,7 +168,7 @@ class Geometry:
                 "mapped mesh: non-positive Jacobian determinant "
                 f"(min {dets.min():.3e}) — mapping folds the mesh"
             )
-        return xq, J
+        return xq, J, dets, np.linalg.inv(J)
 
     def jacobian_full(self, dtype=np.float64) -> np.ndarray:
         """``[n_cells, n_q, 3, 3]`` Jacobian ``d x / d xi`` per qpoint."""
@@ -185,7 +187,7 @@ class Geometry:
     def det_q_full(self) -> np.ndarray:
         """``[n_cells, n_q]`` det(J) per qpoint."""
         if self.mapped:
-            return np.linalg.det(self._mapped_tables[1])
+            return self._mapped_tables[2]
         return np.broadcast_to(
             self.det_per_cell()[:, None], (self.mesh.n_cells, self.n_q)
         )
@@ -206,10 +208,9 @@ class Geometry:
         mapped meshes."""
         w = self.w3d.reshape(-1)
         if self.mapped:
-            J = self._mapped_tables[1]
-            Jinv = np.linalg.inv(J)
+            _, _, dets, Jinv = self._mapped_tables
             G = np.einsum("eqrc,eqsc->eqrs", Jinv, Jinv)  # J^{-1} J^{-T}
-            jxw = np.linalg.det(J) * w[None, :]
+            jxw = dets * w[None, :]
             coef = np.empty((self.mesh.n_cells, self.n_q, 6), dtype=dtype)
             for plane, (r, s) in enumerate(
                 [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
@@ -225,6 +226,8 @@ class Geometry:
 
     def inv_jacobian_full(self, dtype=np.float64) -> np.ndarray:
         """``[n_cells, n_q, 3, 3]`` inverse Jacobian per qpoint."""
+        if self.mapped:
+            return self._mapped_tables[3].astype(dtype)
         return np.linalg.inv(self.jacobian_full()).astype(dtype)
 
     def q_points_phys(self) -> np.ndarray:

@@ -57,7 +57,7 @@ def _round_up(x, m):
 class StencilLayout:
     """Padded vector layout + scaled band tables for one (mesh, basis)."""
 
-    def __init__(self, mesh, basis, dtype, block_z=16, block_y=None, vmem_budget=None):
+    def __init__(self, mesh, basis, dtype, block_z=16, block_y=None):
         from .separable import _bands_from_dense, band_matrix_1d, diag_vector_1d
 
         assert basis.collocation, "stencil kernel requires GLL collocation"
@@ -83,7 +83,9 @@ class StencilLayout:
             block_y = 32
         BY = min(_round_up(block_y, 8), ny_eff)
         self.BZ, self.BY = BZ, BY
-        self.SY = min(BY, 32)
+        # y-subtile: largest divisor of BY that is <= 32 (the static
+        # subtile loop requires SY | BY)
+        self.SY = next(s for s in range(min(BY, 32), 0, -1) if BY % s == 0)
 
         self.nzb = -(-(nz + p) // BZ)  # z blocks cover padded rows [0, p+nz)
         self.nyb = -(-(ny + YOFF) // BY)

@@ -80,6 +80,12 @@ class DistOperator:
         n_components: int = 1,
         **op_kwargs,
     ):
+        if backend not in ("separable", "structured", "gather"):
+            raise ValueError(
+                f"distributed backend {backend!r} unsupported: the per-shard "
+                "apply must be a plain cell loop (separable/structured/"
+                "gather); the pallas kernel owns its own padded layout"
+            )
         self.part = part
         self.n_components = n_components
         self.space = FESpace.create(
