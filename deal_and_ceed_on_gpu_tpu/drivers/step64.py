@@ -35,6 +35,7 @@ def run(
     rtol: float = 1e-12,
     max_steps: int = 2000,
     vtu_path: str | None = None,
+    precond: str = "none",
 ):
     mesh = BrickMesh.hyper_cube().refine_global(n_refine)
     space = FESpace.create(mesh, degree, rule="gauss", dtype=jnp.dtype(dtype))
@@ -46,8 +47,23 @@ def run(
     # reference criterion 1e-12 * |b| (step-64/step-64.cu:513-514): with
     # x0 = 0 the initial residual IS b, so this is reduction = rtol
     control = ReductionControl(max_steps, tolerance=0.0, reduction=rtol)
+    # preconditioning: the reference fills DiagonalMatrix with 1.0
+    # ("none"); "jacobi" is the true operator diagonal, "fdm" the
+    # fast-diagonalization tensor preconditioner (framework extras) —
+    # fdm requires the plain-CG solver (merged CG is diagonal-only,
+    # matching the reference's SolverCGFullMerge)
+    if precond == "jacobi":
+        diag = op.jacobi_preconditioner()
+    elif precond == "fdm":
+        from ..solvers import FDMSolver
+
+        diag = FDMSolver(space).apply
+        if use_merged:
+            raise ValueError("fdm preconditioning requires the plain solver")
+    else:
+        diag = op.diagonal()
     solver = solve_cg_merged if use_merged else solve_cg
-    x, info = jax.jit(lambda b: solver(op.vmult, b, control, diag=op.diagonal()))(b)
+    x, info = jax.jit(lambda b: solver(op.vmult, b, control, diag=diag))(b)
     it = int(info["n_iterations"])
     control.check({k: jax.device_get(v) for k, v in info.items()})
     pcout(f"  Solved in {it} iterations.")
@@ -68,8 +84,16 @@ def main():
     ap.add_argument("--dtype", default="float64")
     ap.add_argument("--backend", default="structured")
     ap.add_argument("--vtu", default=None, help="write solution to this .vtr file")
+    ap.add_argument(
+        "--precond",
+        default="none",
+        choices=["none", "jacobi", "fdm"],
+        help="none = reference DiagonalMatrix(1.0); jacobi/fdm = extras",
+    )
     args = ap.parse_args()
     for use_merged in (False, True):
+        if use_merged and args.precond == "fdm":
+            continue  # merged CG is diagonal-preconditioner-only
         pcout(f"--- use_merged = {use_merged} ---")
         run(
             n_refine=args.refine,
@@ -78,6 +102,7 @@ def main():
             backend=args.backend,
             use_merged=use_merged,
             vtu_path=args.vtu if use_merged else None,
+            precond=args.precond,
         )
 
 
