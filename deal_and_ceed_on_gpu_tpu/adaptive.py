@@ -15,10 +15,12 @@ constrained rows act as identity. The effective operator is the standard
 ``C^T A C`` on the conforming subspace — identical algebra, no per-cell
 masks, no atomics, bitwise deterministic.
 
-Scope: one level of isotropic 2:1 refinement of a uniform brick (coarse
-cells + 8-child refined cells), zero Dirichlet boundary, Q_p with GLL
-nodes. Host-side setup is plain numpy over the (tiny, test-scale) cell
-lists; the apply itself is the regular batched gather cell loop.
+Scope: arbitrary-depth isotropic refinement of a uniform brick under a
+vertex 2:1 balance (enforced automatically, like p4est's balance step),
+zero Dirichlet boundary, Q_p with GLL nodes; constraint chains across
+levels are resolved by substitution. Host-side setup is plain numpy over
+the (tiny, test-scale) cell lists; the apply itself is the regular
+batched gather cell loop.
 """
 
 from __future__ import annotations
@@ -45,8 +47,11 @@ def _key(x):
 
 @dataclasses.dataclass(frozen=True)
 class AdaptiveMesh:
-    """Active cells of a once-refined brick: ``cells[i] = (origin, h,
-    level)`` with ``h`` the (isotropic per-axis) cell extents."""
+    """Active cells of an adaptively refined brick: ``cells[i] = (origin,
+    h, level)`` with ``h`` the per-axis cell extents. Supports arbitrary
+    refinement depth under a *vertex* 2:1 balance (any two active cells
+    with touching closures differ by at most one level — the invariant
+    p4est maintains for the reference, ``bp5/step-64.cu:310``)."""
 
     origins: np.ndarray  # [n_cells, 3]
     sizes: np.ndarray  # [n_cells, 3]
@@ -55,48 +60,96 @@ class AdaptiveMesh:
     upper: tuple
 
     @staticmethod
-    def refine(base: BrickMesh, marks) -> "AdaptiveMesh":
-        """Refine the marked coarse cells of a uniform brick once (8
-        children each). One level guarantees the 2:1 balance deal.II gets
-        from p4est."""
+    def from_brick(base: BrickMesh) -> "AdaptiveMesh":
         assert base.is_uniform and not base.is_mapped
         mx, my, mz = base.n_elements
         hx, hy, hz = base.h
-        marks = np.asarray(marks)
-        if marks.dtype == bool:
-            marks = np.flatnonzero(marks)
-        marked = set(int(m) for m in marks)
-        origins, sizes, levels = [], [], []
+        origins = []
         for e in range(base.n_cells):
             ez, rem = divmod(e, my * mx)
             ey, ex = divmod(rem, mx)
-            o = np.array(
+            origins.append(
                 [
                     base.lower[0] + ex * hx,
                     base.lower[1] + ey * hy,
                     base.lower[2] + ez * hz,
                 ]
             )
+        n = base.n_cells
+        return AdaptiveMesh(
+            np.asarray(origins),
+            np.tile(np.array([hx, hy, hz]), (n, 1)),
+            np.zeros(n, dtype=np.int64),
+            base.lower,
+            base.upper,
+        )
+
+    @staticmethod
+    def refine(base: BrickMesh, marks) -> "AdaptiveMesh":
+        """Refine the marked coarse cells of a uniform brick once (8
+        children each)."""
+        return AdaptiveMesh.from_brick(base).refine_active(marks)
+
+    def refine_active(self, marks) -> "AdaptiveMesh":
+        """Refine the marked *active* cells (8 children each), then restore
+        the vertex 2:1 balance by refining any active cell whose closure
+        touches a cell two or more levels finer (the p4est balance step)."""
+        marks = np.asarray(marks)
+        if marks.dtype == bool:
+            marks = np.flatnonzero(marks)
+        marked = set(int(m) for m in marks)
+        origins, sizes, levels = [], [], []
+        for e in range(self.n_cells):
+            o, h, lv = self.origins[e], self.sizes[e], int(self.levels[e])
             if e in marked:
                 for cz in range(2):
                     for cy in range(2):
                         for cx in range(2):
                             origins.append(
-                                o + 0.5 * np.array([cx * hx, cy * hy, cz * hz])
+                                o + 0.5 * h * np.array([cx, cy, cz], dtype=float)
                             )
-                            sizes.append(0.5 * np.array([hx, hy, hz]))
-                            levels.append(1)
+                            sizes.append(0.5 * h)
+                            levels.append(lv + 1)
             else:
                 origins.append(o)
-                sizes.append(np.array([hx, hy, hz]))
-                levels.append(0)
-        return AdaptiveMesh(
+                sizes.append(h)
+                levels.append(lv)
+        out = AdaptiveMesh(
             np.asarray(origins),
             np.asarray(sizes),
-            np.asarray(levels),
-            base.lower,
-            base.upper,
+            np.asarray(levels, dtype=np.int64),
+            self.lower,
+            self.upper,
         )
+        return out._balance()
+
+    def _closure_touch(self) -> np.ndarray:
+        """bool [n, n]: closures of cells i and j intersect (within tol)."""
+        lo = self.origins
+        hi = self.origins + self.sizes
+        t = _TOL
+        touch = np.ones((self.n_cells, self.n_cells), dtype=bool)
+        for d in range(3):
+            touch &= lo[:, None, d] <= hi[None, :, d] + t
+            touch &= lo[None, :, d] <= hi[:, None, d] + t
+        return touch
+
+    def _balance(self) -> "AdaptiveMesh":
+        """Refine until no two closure-touching active cells differ by
+        more than one level."""
+        mesh = self
+        while True:
+            touch = mesh._closure_touch()
+            lv = mesh.levels
+            viol = (touch & (lv[None, :] - lv[:, None] >= 2)).any(axis=1)
+            if not viol.any():
+                return mesh
+            mesh = mesh.refine_active(np.flatnonzero(viol))
+
+    def is_balanced(self) -> bool:
+        touch = self._closure_touch()
+        lv = self.levels
+        return not (touch & (np.abs(lv[None, :] - lv[:, None]) >= 2)).any()
 
     @property
     def n_cells(self) -> int:
@@ -178,34 +231,65 @@ class AdaptiveSpace:
         self.elem_dof_map = jnp.asarray(dof_map.astype(np.int32))
         self._dof_map_np = dof_map
 
-        # ---- hanging-node constraints ----
-        hang_rows, hang_cols, hang_w = [], [], []
+        # ---- hanging-node constraints (multi-level, chain-resolved) ----
+        # A node is hanging iff it is NOT a node of any *coarsest*-level
+        # active cell whose closure contains it; its raw masters are that
+        # cell's nodes with tensor Lagrange weights. Under the vertex 2:1
+        # balance a raw master can itself be hanging (one level coarser);
+        # chains are resolved by substitution — levels strictly decrease,
+        # so the closure terminates (deal.II resolves the same chains
+        # inside make_hanging_node_constraints).
+        lo, sz = mesh.origins, mesh.sizes
+        X = self.node_coords
+        inside = np.ones((n_cells, self.n_dofs), dtype=bool)
+        for d in range(3):
+            td = (X[None, :, d] - lo[:, None, d]) / sz[:, None, d]
+            inside &= (td > -_TOL) & (td < 1.0 + _TOL)
+        levels = mesh.levels
+        raw: dict[int, list] = {}
         hanging = np.zeros(self.n_dofs, dtype=bool)
-        coarse = [e for e in range(n_cells) if mesh.levels[e] == 0]
         for g in range(self.n_dofs):
-            x = self.node_coords[g]
-            for e in coarse:
-                if g in cell_nodes[e]:
-                    continue
-                o, h = mesh.origins[e], mesh.sizes[e]
-                t = (x - o) / h
-                if np.all(t > -_TOL) and np.all(t < 1.0 + _TOL):
-                    # x on the closure of coarse cell e but not a node of
-                    # it -> hanging; tensor interpolation from e's nodes
-                    wloc = np.ones((p1, p1, p1))
-                    for d, td in enumerate(t):
-                        S, _ = lagrange_eval(gll, np.array([np.clip(td, 0, 1)]))
-                        wd = S[0]
-                        shape = [1, 1, 1]
-                        shape[2 - d] = p1  # local order (k, j, i) = (z, y, x)
-                        wloc = wloc * wd.reshape(shape)
-                    wflat = wloc.reshape(-1)
-                    nz = np.abs(wflat) > 1e-12
-                    hanging[g] = True
-                    hang_rows.extend([g] * int(nz.sum()))
-                    hang_cols.extend(dof_map[e][nz].tolist())
-                    hang_w.extend(wflat[nz].tolist())
-                    break
+            cells_g = np.flatnonzero(inside[:, g])
+            lmin = int(levels[cells_g].min())
+            lmin_cells = [int(e) for e in cells_g if levels[e] == lmin]
+            if any(g in cell_nodes[e] for e in lmin_cells):
+                continue  # conforming (master) DoF
+            e = lmin_cells[0]
+            t = (X[g] - lo[e]) / sz[e]
+            wloc = np.ones((p1, p1, p1))
+            for d, td in enumerate(t):
+                S, _ = lagrange_eval(gll, np.array([np.clip(td, 0, 1)]))
+                shape = [1, 1, 1]
+                shape[2 - d] = p1  # local order (k, j, i) = (z, y, x)
+                wloc = wloc * S[0].reshape(shape)
+            wflat = wloc.reshape(-1)
+            nzm = np.abs(wflat) > 1e-12
+            raw[g] = list(zip(dof_map[e][nzm].tolist(), wflat[nzm].tolist()))
+            hanging[g] = True
+
+        changed = True
+        while changed:
+            changed = False
+            for g, row in raw.items():
+                if any(hanging[m] for m, _ in row):
+                    new: dict[int, float] = {}
+                    for m, w in row:
+                        if hanging[m]:
+                            for m2, w2 in raw[m]:
+                                new[m2] = new.get(m2, 0.0) + w * w2
+                        else:
+                            new[m] = new.get(m, 0.0) + w
+                    raw[g] = [
+                        (m, w) for m, w in new.items() if abs(w) > 1e-12
+                    ]
+                    changed = True
+
+        hang_rows, hang_cols, hang_w = [], [], []
+        for g, row in raw.items():
+            for m, w in row:
+                hang_rows.append(g)
+                hang_cols.append(m)
+                hang_w.append(w)
         self.hanging_mask_np = hanging
         self.hang_rows = jnp.asarray(np.asarray(hang_rows, dtype=np.int32))
         self.hang_cols = jnp.asarray(np.asarray(hang_cols, dtype=np.int32))

@@ -130,6 +130,66 @@ def test_adaptive_solve_matches_direct():
     np.testing.assert_allclose(xd, Cx, rtol=1e-12, atol=1e-13)
 
 
+def test_two_level_refinement_balanced_and_matches_oracle():
+    """Multi-level: refine a cell, then one of its children; the 2:1
+    balance step refines coarse neighbors automatically, and the chained
+    hanging constraints still match the explicit C^T A C oracle."""
+    amesh = AdaptiveMesh.refine(BrickMesh((2, 2, 2)), (0,))
+    # refine the first child of cell 0 (level-1 cell) -> level 2 appears
+    child = int(np.flatnonzero(amesh.levels == 1)[0])
+    amesh2 = amesh.refine_active((child,))
+    assert amesh2.is_balanced()
+    assert amesh2.levels.max() == 2
+    for p in (2, 3):
+        space = AdaptiveSpace(amesh2, p)
+        assert space.hanging_mask_np.sum() > 0
+        op = AdaptivePoissonOperator(space)
+        A = _assemble_full(space)
+        u = np.random.default_rng(11).standard_normal(space.n_dofs)
+        want = _oracle_vmult(space, A, u)
+        got = np.asarray(op.vmult(jnp.asarray(u)))
+        np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-11)
+
+
+def test_two_level_polynomial_exactness_through_chains():
+    """Chained constraints must still reproduce tensor polynomials of
+    degree <= p exactly at every hanging node."""
+    amesh = AdaptiveMesh.refine(BrickMesh((2, 2, 2)), (0, 1))
+    child = int(np.flatnonzero(amesh.levels == 1)[0])
+    amesh2 = amesh.refine_active((child,))
+    space = AdaptiveSpace(amesh2, 2)
+    x = space.node_coords
+
+    def f(x):
+        return 0.5 + x[:, 0] ** 2 - 2.0 * x[:, 1] * x[:, 2] + x[:, 2] ** 2 * x[:, 0]
+
+    u_dist = np.asarray(space.distribute(jnp.asarray(f(x))))
+    np.testing.assert_allclose(u_dist, f(x), rtol=1e-12, atol=1e-12)
+    # no chain survives: every master of a hanging row is conforming
+    assert not space.hanging_mask_np[np.asarray(space.hang_cols)].any()
+
+
+def test_two_level_solve_matches_direct():
+    import scipy.sparse.linalg as spla
+
+    amesh = AdaptiveMesh.refine(BrickMesh((2, 2, 1)), (0,))
+    child = int(np.flatnonzero(amesh.levels == 1)[3])
+    amesh2 = amesh.refine_active((child,))
+    space = AdaptiveSpace(amesh2, 2)
+    op = AdaptivePoissonOperator(space)
+    A = _assemble_full(space)
+    b = assemble_rhs_adaptive(space, 1.0)
+    C = space.constraint_matrix()
+    mask = space.constrained_mask_np
+    P = sp.diags((~mask).astype(float))
+    Ic = sp.diags(mask.astype(float))
+    A_eff = (P @ C.T @ A @ C @ P + Ic).tocsc()
+    x_direct = spla.spsolve(A_eff, np.asarray(b))
+    control = SolverControl(800, 1e-12 * float(jnp.linalg.norm(b)))
+    x, info = solve_cg_merged(op.vmult, b, control)
+    np.testing.assert_allclose(np.asarray(x), x_direct, rtol=1e-9, atol=1e-11)
+
+
 def test_refined_everything_matches_uniform():
     """Refining EVERY cell gives a conforming mesh: no hanging nodes, and
     the solve matches the uniformly refined BrickMesh solve."""
