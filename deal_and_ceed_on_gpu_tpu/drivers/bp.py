@@ -97,6 +97,9 @@ def run_sweep(
 
 
 def main():
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser(description="CEED BP sweep (TPU)")
     ap.add_argument("--bp", default="bp5", choices=[f"bp{i}" for i in range(1, 7)])
     ap.add_argument("--p-min", type=int, default=1)

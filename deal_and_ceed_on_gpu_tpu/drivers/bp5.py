@@ -301,6 +301,9 @@ def run_cycle_distributed(
 
 
 def main():
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser(description="BP5 benchmark (TPU)")
     ap.add_argument("--cycle-min", type=int, default=7)
     ap.add_argument("--cycle-max", type=int, default=40)

@@ -78,6 +78,9 @@ def run(
 
 
 def main():
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser(description="step-64 Helmholtz (TPU)")
     ap.add_argument("--refine", type=int, default=3)
     ap.add_argument("--degree", type=int, default=3)
