@@ -105,10 +105,12 @@ class HelmholtzOperator(MatrixFreeOperator):
     def shard_table_names(self):
         """The value coefficient a(x_q)*JxW depends on the block's physical
         position (reference ``VaryingCoefficientFunctor``,
-        ``step-64/step-64.cu:69-118``); the gradient tables on a uniform
-        brick do not."""
+        ``step-64/step-64.cu:69-118``); the gradient tables do too on
+        graded/mapped meshes."""
         if self.backend == "separable":
             return ()
+        if self._coef_g is not None:
+            return ("_coef_val", "_coef_g")
         return ("_coef_val",)
 
     def quad_point_op(self, vals, grads):

@@ -37,3 +37,9 @@ class MassOperator(MatrixFreeOperator):
         from .operator_base import tensor_product_diagonal
 
         return tensor_product_diagonal(self.space, value_const=1.0)
+
+    def shard_table_names(self):
+        """JxW is position-dependent on graded/mapped meshes."""
+        if self.backend != "separable" and not self.space.geometry.uniform:
+            return ("_jxw",)
+        return ()

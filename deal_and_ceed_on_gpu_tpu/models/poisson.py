@@ -97,6 +97,13 @@ class PoissonOperator(MatrixFreeOperator):
 
         return tensor_product_diagonal(self.space, gradient=True)
 
+    def shard_table_names(self):
+        """The 6-plane merged coefficient is position-dependent on
+        graded/mapped meshes (uniform bricks use trace-time scalars)."""
+        if self.backend in ("structured", "gather") and self.coefficient == "merged_full":
+            return ("_coef",)
+        return ()
+
     def quad_point_op(self, vals, grads):
         gx, gy, gz = grads
         if self.coefficient == "merged_const":

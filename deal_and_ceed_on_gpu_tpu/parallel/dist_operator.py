@@ -102,24 +102,39 @@ class DistOperator:
         if reason:
             raise ValueError(f"{op_cls.__name__}: {reason}")
         self._table_names = self._local_op.shard_table_names()
+        if not part.mesh.is_uniform and not self._table_names:
+            raise ValueError(
+                f"{op_cls.__name__}: graded/mapped global meshes need "
+                "position-dependent shard tables (shard_table_names); "
+                "use backend='structured'"
+            )
         if self._table_names:
             if backend != "structured":
                 raise ValueError(
                     f"{op_cls.__name__} has position-dependent tables; "
                     "use backend='structured' for the distributed operator"
                 )
-            # build the tables once on the padded global mesh, slice per
-            # shard in device order
+            # Build the tables once on the PHYSICAL global mesh, zero-pad
+            # over the dead padding elements (zero coefficients make dead
+            # cells contribute exactly nothing), slice per shard in device
+            # order. Evaluating geometry/coefficients outside the physical
+            # domain is never needed.
             import numpy as np
 
             gspace = FESpace.create(
-                part.padded_mesh, part.degree, n_q=n_q, rule=rule, dtype=dtype
+                part.mesh, part.degree, n_q=n_q, rule=rule, dtype=dtype
             )
             gop = op_cls(gspace, backend=backend, **op_kwargs)
-            self.shard_tables = tuple(
-                jnp.asarray(part.slice_table(np.asarray(getattr(gop, name))))
-                for name in self._table_names
-            )
+            mz_pad = part.mz_local * part.pz - part.mesh.n_elements[2]
+            my_pad = part.my_local * part.py - part.mesh.n_elements[1]
+            tables = []
+            for name in self._table_names:
+                t = np.asarray(getattr(gop, name))
+                pad = [(0, 0)] * t.ndim
+                pad[0] = (0, mz_pad)  # structured layout [MZ, q, MY, q, ...]
+                pad[2] = (0, my_pad)
+                tables.append(jnp.asarray(part.slice_table(np.pad(t, pad))))
+            self.shard_tables = tuple(tables)
         else:
             self.shard_tables = ()
         self._solver_cache = {}

@@ -60,10 +60,6 @@ class BlockPartition:
     axis_y: str = "y"
 
     def __post_init__(self):
-        if self.mesh.is_mapped:
-            raise NotImplementedError(
-                "distributed solves support tensor-product brick meshes"
-            )
         if self.pz < 1 or self.py < 1:
             raise ValueError("shard counts must be >= 1")
 
@@ -82,36 +78,48 @@ class BlockPartition:
 
     @property
     def local_mesh(self) -> BrickMesh:
-        """The per-shard element block. Uniform geometry is identical on
-        every shard, so one traced program serves all of them; absolute
-        offsets enter only through per-shard data tables."""
+        """The per-shard element block. On a uniform global mesh the local
+        geometry is identical on every shard, so one traced program serves
+        all of them. On graded/mapped global meshes the local mesh only
+        fixes the *structure* (shapes and which operator code paths run —
+        full coefficient tables, symmetric contraction); its geometry
+        values are placeholders, overridden per shard by sliced global
+        tables (``DistOperator.shard_tables``)."""
         mx, my, mz = self.mesh.n_elements
-        hx, hy, hz = self.mesh.h
         lo = self.mesh.lower
-        return BrickMesh(
+        if self.mesh.is_uniform:
+            hx, hy, hz = self.mesh.h
+            return BrickMesh(
+                (mx, self.my_local, self.mz_local),
+                lo,
+                (
+                    self.mesh.upper[0],
+                    lo[1] + hy * self.my_local,
+                    lo[2] + hz * self.mz_local,
+                ),
+            )
+        # structural placeholder: shard-0's block of the global mesh
+        hx = np.asarray(self.mesh.h_axes()[0])
+        hy = np.asarray(self.mesh.h_axes()[1])[: self.my_local]
+        hz = np.asarray(self.mesh.h_axes()[2])[: self.mz_local]
+        # pad placeholder widths if shard 0 is smaller than the block
+        hy = np.pad(hy, (0, self.my_local - hy.size), constant_values=1.0)
+        hz = np.pad(hz, (0, self.mz_local - hz.size), constant_values=1.0)
+        local = BrickMesh(
             (mx, self.my_local, self.mz_local),
             lo,
             (
                 self.mesh.upper[0],
-                lo[1] + hy * self.my_local,
-                lo[2] + hz * self.mz_local,
+                lo[1] + float(hy.sum()),
+                lo[2] + float(hz.sum()),
             ),
+            widths=(np.asarray(self.mesh.h_axes()[0]), hy, hz)
+            if self.mesh.widths is not None
+            else None,
         )
-
-    @property
-    def padded_mesh(self) -> BrickMesh:
-        """The global element grid including dead padding elements (used to
-        build position-dependent coefficient tables that are then sliced
-        per shard)."""
-        mx, my, mz = self.mesh.n_elements
-        hx, hy, hz = self.mesh.h
-        lo = self.mesh.lower
-        my_p, mz_p = self.my_local * self.py, self.mz_local * self.pz
-        return BrickMesh(
-            (mx, my_p, mz_p),
-            lo,
-            (self.mesh.upper[0], lo[1] + hy * my_p, lo[2] + hz * mz_p),
-        )
+        if self.mesh.is_mapped:
+            local = local.deform(self.mesh.mapping, self.mesh.mapping_jacobian)
+        return local
 
     @property
     def local_grid_shape(self) -> tuple[int, int, int]:
