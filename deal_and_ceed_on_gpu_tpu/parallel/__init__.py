@@ -1,4 +1,9 @@
 from .partition import BlockPartition, SlabPartition
+from .dist_adaptive import (
+    AdaptivePartition,
+    DistAdaptivePoisson,
+    solve_cg_merged_dist_adaptive,
+)
 from .dist_operator import DistOperator, DistPoissonOperator, halo_combine
 from .dist_solve import (
     make_device_mesh,
@@ -9,8 +14,11 @@ from .dist_solve import (
 )
 
 __all__ = [
+    "AdaptivePartition",
     "BlockPartition",
+    "DistAdaptivePoisson",
     "SlabPartition",
+    "solve_cg_merged_dist_adaptive",
     "DistOperator",
     "DistPoissonOperator",
     "halo_combine",

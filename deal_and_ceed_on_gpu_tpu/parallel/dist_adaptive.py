@@ -1,0 +1,332 @@
+"""Distributed adaptive (hanging-node) meshes over a TPU device mesh.
+
+The reference gets distributed adaptivity from p4est + deal.II index sets
+(``parallel::distributed::Triangulation``, ``bp5/step-64.cu:310``;
+owned/relevant DoF sets ``:345-348``) with CUDA-aware-MPI point-to-point
+ghost exchange. The TPU formulation replaces the irregular ghost graph
+with one dense **shared-surface buffer**:
+
+- DoFs are permuted by (z, y, x) node position and partitioned into
+  equal owned slabs (padded with dead DoFs) — exact partition, no
+  duplicated ownership, so dot products need no weighting beyond padding.
+- Active cells go to the shard owning their smallest DoF; every shard is
+  padded to the same cell count with dead cells whose coefficient tables
+  are ZERO, so they contribute exactly nothing.
+- Let SIGMA be the set of DoFs referenced by any non-owner shard (cell
+  gathers/scatters across the partition boundary plus remote hanging-node
+  masters). Each apply exchanges SIGMA with ``psum`` of per-shard
+  scatters — the surface-sized, fixed-shape TPU analog of
+  ``update_ghost_values``/``compress(add)``; cell indices are remapped
+  into the concatenated ``[owned | SIGMA | trash]`` space so every gather
+  and scatter-add is one dense take / segment-sum.
+- Hanging constraints run owner-side with padded (masters, weights)
+  tables (masters are always conforming — chains are pre-resolved — so a
+  single SIGMA round supplies them); the transposed condense routes
+  hanging residuals back to possibly-remote masters through SIGMA.
+
+Everything is a fixed-shape dense op inside ``shard_map``: one traced
+program for all shards, bitwise deterministic.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..adaptive import AdaptivePoissonOperator, AdaptiveSpace
+from ..ops import sum_factorization as sf
+from ..solvers.cg_merged import solve_cg_merged
+from ..solvers.control import SolverControl
+
+__all__ = ["AdaptivePartition", "DistAdaptivePoisson", "solve_cg_merged_dist_adaptive"]
+
+
+class AdaptivePartition:
+    """Host-side construction of the distributed tables for an
+    :class:`AdaptiveSpace` over ``n_shards`` devices."""
+
+    def __init__(self, space: AdaptiveSpace, n_shards: int, axis_name: str = "shard"):
+        self.space = space
+        self.n_shards = n_shards
+        self.axis_name = axis_name
+        n = space.n_dofs
+
+        # ---- DoF permutation (z, y, x) and exact owned partition ----
+        X = space.node_coords
+        order = np.lexsort((X[:, 0], X[:, 1], X[:, 2]))  # z major
+        self.perm = np.empty(n, dtype=np.int64)  # old id -> new id
+        self.perm[order] = np.arange(n)
+        n_loc = -(-n // n_shards)
+        self.n_loc = n_loc
+        self.n_pad = n_loc * n_shards
+        owner = np.minimum(np.arange(self.n_pad) // n_loc, n_shards - 1)
+
+        dof_map = self.perm[space._dof_map_np]  # [E, p1^3] new ids
+        n_cells = space.mesh.n_cells
+        cell_owner = owner[dof_map.min(axis=1)]
+
+        hang_rows = self.perm[np.asarray(space.hang_rows, dtype=np.int64)]
+        hang_cols = self.perm[np.asarray(space.hang_cols, dtype=np.int64)]
+        hang_w = np.asarray(space.hang_w, dtype=np.float64)
+
+        # ---- SIGMA: every DoF referenced by a non-owner ----
+        sigma = set()
+        for e in range(n_cells):
+            o = int(cell_owner[e])
+            for d in dof_map[e]:
+                if owner[d] != o:
+                    sigma.add(int(d))
+        for h, m in zip(hang_rows, hang_cols):
+            if owner[m] != owner[h]:
+                sigma.add(int(m))
+        sigma = np.asarray(sorted(sigma), dtype=np.int64)
+        S = sigma.size
+        self.n_sigma = S
+        sigma_slot = {int(d): s for s, d in enumerate(sigma)}
+
+        # index space per shard: [0, n_loc) owned | [n_loc, n_loc+S) sigma
+        # | n_loc+S trash
+        trash = n_loc + S
+
+        def remap(d, k):
+            d = int(d)
+            if d in sigma_slot:
+                return n_loc + sigma_slot[d]
+            assert owner[d] == k, "non-sigma dof referenced by non-owner"
+            return d - k * n_loc
+
+        # ---- per-shard cell tables (padded with dead cells) ----
+        E_loc = max(1, int(np.bincount(cell_owner, minlength=n_shards).max()))
+        cmap = np.full((n_shards, E_loc, dof_map.shape[1]), trash, dtype=np.int32)
+        h = space.mesh.sizes
+        det = h.prod(axis=1)
+        md = np.stack(
+            [det / h[:, 0] ** 2, det / h[:, 1] ** 2, det / h[:, 2] ** 2], -1
+        )
+        coef = np.zeros((n_shards, E_loc, 3))
+        counts = np.zeros(n_shards, dtype=np.int64)
+        for e in range(n_cells):
+            k = int(cell_owner[e])
+            i = counts[k]
+            counts[k] += 1
+            cmap[k, i] = [remap(d, k) for d in dof_map[e]]
+            coef[k, i] = md[e]
+        self.cell_map = jnp.asarray(cmap)
+        self.cell_coef = coef  # numpy; dtype applied by the operator
+
+        # ---- per-shard owned<->sigma exchange tables ----
+        own_counts = np.bincount(owner[sigma], minlength=n_shards)
+        M = max(1, int(own_counts.max()))
+        own_sig_local = np.full((n_shards, M), n_loc, dtype=np.int32)  # pad->dead
+        own_sig_slot = np.full((n_shards, M), S, dtype=np.int32)  # pad->trash
+        fill = np.zeros(n_shards, dtype=np.int64)
+        for s, d in enumerate(sigma):
+            k = int(owner[d])
+            i = fill[k]
+            fill[k] += 1
+            own_sig_local[k, i] = d - k * n_loc
+            own_sig_slot[k, i] = s
+        self.own_sig_local = jnp.asarray(own_sig_local)
+        self.own_sig_slot = jnp.asarray(own_sig_slot)
+
+        # ---- per-shard hanging tables (owner-side rows) ----
+        h_counts = np.bincount(owner[hang_rows], minlength=n_shards) if hang_rows.size else np.zeros(n_shards, dtype=np.int64)
+        Hm = max(1, int(h_counts.max()) if hang_rows.size else 1)
+        rows_by = {}
+        for idx in range(hang_rows.size):
+            rows_by.setdefault(int(hang_rows[idx]), []).append(idx)
+        K = max([len(v) for v in rows_by.values()] + [1])
+        h_local = np.full((n_shards, Hm), n_loc, dtype=np.int32)  # pad->dead
+        h_masters = np.full((n_shards, Hm, K), trash, dtype=np.int32)
+        h_weights = np.zeros((n_shards, Hm, K))
+        fill = np.zeros(n_shards, dtype=np.int64)
+        for hdof, idxs in rows_by.items():
+            k = int(owner[hdof])
+            i = fill[k]
+            fill[k] += 1
+            h_local[k, i] = hdof - k * n_loc
+            for j, idx in enumerate(idxs):
+                h_masters[k, i, j] = remap(hang_cols[idx], k)
+                h_weights[k, i, j] = hang_w[idx]
+        self.h_local = jnp.asarray(h_local)
+        self.h_masters = jnp.asarray(h_masters)
+        self.h_weights = h_weights  # numpy; dtype applied by the operator
+
+        # ---- per-shard masks over the owned slab (+1 dead slot) ----
+        con = np.zeros(self.n_pad, dtype=bool)
+        hngm = np.zeros(self.n_pad, dtype=bool)
+        con[self.perm[np.flatnonzero(space.constrained_mask_np)]] = True
+        hngm[self.perm[np.flatnonzero(space.hanging_mask_np)]] = True
+        con[n:] = True  # padding dofs act constrained (stay zero)
+        self.constrained = jnp.asarray(
+            np.concatenate([con.reshape(n_shards, n_loc), np.ones((n_shards, 1), bool)], 1)
+        )
+        self.hanging = jnp.asarray(
+            np.concatenate([hngm.reshape(n_shards, n_loc), np.zeros((n_shards, 1), bool)], 1)
+        )
+
+    # ------------------------- host conversions ----------------------- #
+    def to_shards(self, u: np.ndarray) -> np.ndarray:
+        """Global ``[n_dofs]`` vector -> ``[n_shards, n_loc]`` owned slabs
+        in the permuted order."""
+        up = np.zeros(self.n_pad, dtype=np.asarray(u).dtype)
+        up[self.perm] = np.asarray(u)
+        return up.reshape(self.n_shards, self.n_loc)
+
+    def from_shards(self, slabs: np.ndarray) -> np.ndarray:
+        return np.asarray(slabs).reshape(-1)[self.perm]
+
+
+class DistAdaptivePoisson:
+    """SPMD adaptive Poisson vmult: ``vmult_local`` runs inside shard_map
+    on the owned slab ``[n_loc]``; tables arrive as sharded operands."""
+
+    def __init__(self, part: AdaptivePartition, dtype=jnp.float64):
+        self.part = part
+        space = part.space
+        self.dtype = jnp.dtype(dtype)
+        b = space.basis
+        self.S = jnp.asarray(b.S, dtype=dtype)
+        self.D = jnp.asarray(b.D, dtype=dtype)
+        w = b.q_weights
+        w3 = (w[:, None, None] * w[None, :, None] * w[None, None, :])[None]
+        # [n_shards, E_loc, 1,1,1] per-axis coefficients x tensor weights
+        self.coef_tables = tuple(
+            jnp.asarray(part.cell_coef[:, :, d, None, None, None] * w3, dtype=dtype)
+            for d in range(3)
+        )
+        self.h_weights = jnp.asarray(part.h_weights, dtype=dtype)
+        self._solver_cache = {}
+
+    @property
+    def shard_operands(self):
+        p = self.part
+        return (
+            p.cell_map,
+            *self.coef_tables,
+            p.own_sig_local,
+            p.own_sig_slot,
+            p.h_local,
+            p.h_masters,
+            self.h_weights,
+            p.constrained,
+            p.hanging,
+        )
+
+    def operand_specs(self, axis_name=None):
+        ax = axis_name or self.part.axis_name
+        return tuple(
+            P(ax, *([None] * (np.ndim(t) - 1))) for t in self.shard_operands
+        )
+
+    def vmult_local(self, u, *tables):
+        """u: owned slab (shape ``[n_loc]`` or ``[1, n_loc]`` under
+        shard_map). All table operands carry a leading length-1 shard
+        axis (consumed by shard_map)."""
+        shape = u.shape
+        return self._vmult_flat(u.reshape(-1), *tables).reshape(shape)
+
+    def _vmult_flat(self, u, cmap, cwx, cwy, cwz, osl, oss, hl, hm, hw, con, hng):
+        part = self.part
+        ax = part.axis_name
+        n_loc, S = part.n_loc, part.n_sigma
+        (cmap, cwx, cwy, cwz, osl, oss, hl, hm, hw, con, hng) = (
+            t.reshape(t.shape[1:]) for t in (cmap, cwx, cwy, cwz, osl, oss, hl, hm, hw, con, hng)
+        )
+        zero = jnp.zeros((), u.dtype)
+
+        def exchange(vals_with_dead):
+            """owned values (incl. dead slot) -> replicated SIGMA [S+1]."""
+            sig = jnp.zeros((S + 1,), u.dtype).at[oss].set(vals_with_dead[osl])
+            return jax.lax.psum(sig, ax)
+
+        def cat(owned_dead, sigma):
+            # [n_loc | S | trash]; owned_dead = [n_loc + 1] (dead slot last)
+            return jnp.concatenate([owned_dead[:n_loc], sigma[:S], owned_dead[n_loc:]])
+
+        u1 = jnp.where(con[: n_loc + 1], zero, jnp.pad(u, (0, 1)))
+        # hanging fill (distribute): masters are conforming, one round
+        u_cat = cat(u1, exchange(u1))
+        hv = jnp.sum(hw * u_cat[hm], axis=-1)
+        u1 = u1.at[hl].set(hv)
+        u_cat = cat(u1, exchange(u1))
+
+        # cell loop (dead cells have zero coefficients)
+        ul = u_cat[cmap].reshape(cmap.shape[0], *([self.S.shape[1]] * 3))
+        _, grads = sf.evaluate(ul, self.S, self.D, (1, 2, 3), False, True, True)
+        gx, gy, gz = grads
+        vl = sf.integrate(
+            None, (gx * cwx, gy * cwy, gz * cwz), self.S, self.D, (1, 2, 3), True
+        )
+        v_cat = (
+            jnp.zeros((n_loc + S + 1,), u.dtype)
+            .at[cmap.reshape(-1)]
+            .add(vl.reshape(-1))
+        )
+        sig_v = jax.lax.psum(v_cat[n_loc : n_loc + S + 1], ax)
+        v1 = jnp.pad(v_cat[:n_loc], (0, 1)).at[osl].add(sig_v[oss])
+
+        # condense (transpose): hanging residuals -> masters (maybe remote)
+        res_h = v1[hl]
+        c_cat = (
+            jnp.zeros((n_loc + S + 1,), u.dtype)
+            .at[hm.reshape(-1)]
+            .add((hw * res_h[:, None]).reshape(-1))
+        )
+        sig_c = jax.lax.psum(c_cat[n_loc : n_loc + S + 1], ax)
+        v1 = v1 + c_cat[: n_loc + 1]
+        v1 = v1.at[osl].add(sig_c[oss])
+        v1 = jnp.where(hng[: n_loc + 1], zero, v1)
+
+        out = jnp.where(con[: n_loc + 1], jnp.pad(u, (0, 1)), v1)
+        return out[:n_loc]
+
+
+def make_device_mesh_1d(n_shards: int, axis_name: str = "shard") -> Mesh:
+    return Mesh(np.asarray(jax.devices()[:n_shards]), (axis_name,))
+
+
+def solve_cg_merged_dist_adaptive(
+    dist_op: DistAdaptivePoisson,
+    b_shards: jnp.ndarray,
+    control: SolverControl,
+    mesh: Optional[Mesh] = None,
+):
+    """b_shards: ``[n_shards, n_loc]`` owned slabs
+    (``AdaptivePartition.to_shards``). Returns ``(x_shards, info)``."""
+    part = dist_op.part
+    ax = part.axis_name
+    mesh = mesh or make_device_mesh_1d(part.n_shards, ax)
+    key = ("solve", control, mesh)
+    run = dist_op._solver_cache.get(key)
+    if run is None:
+        specs = dist_op.operand_specs()
+
+        def local_solve(b_loc, *tables):
+            x, info = solve_cg_merged(
+                lambda u: dist_op.vmult_local(u, *tables),
+                b_loc,
+                control,
+                psum_axis=ax,
+            )
+            return x, info["n_iterations"], info["res_norm"], info["res0"]
+
+        jitted = jax.jit(
+            jax.shard_map(
+                local_solve,
+                mesh=mesh,
+                in_specs=(P(ax),) + specs,
+                out_specs=(P(ax), P(), P(), P()),
+            )
+        )
+
+        def run(b):
+            x, it, res, res0 = jitted(b, *dist_op.shard_operands)
+            return x, {"n_iterations": it, "res_norm": res, "res0": res0}
+
+        dist_op._solver_cache[key] = run
+    return run(jnp.asarray(b_shards).reshape(part.n_shards, part.n_loc))
