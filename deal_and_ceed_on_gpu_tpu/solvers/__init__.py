@@ -7,6 +7,7 @@ from .control import (
 from .cg import solve_cg
 from .cg_merged import solve_cg_merged
 from .fdm import FDMSolver
+from .ir import solve_cg_ir
 
 __all__ = [
     "SolverControl",
@@ -16,4 +17,5 @@ __all__ = [
     "solve_cg",
     "solve_cg_merged",
     "FDMSolver",
+    "solve_cg_ir",
 ]
