@@ -45,9 +45,11 @@ def solve_cg_ir(
     """Solve ``A x = b`` to a TRUE f64 relative residual ``rtol``.
 
     ``op32``/``op64`` are the same operator built at the two precisions
-    (same mesh/degree/quadrature). Returns ``(x64, info)`` with
-    ``n_outer``, total ``n_inner`` CG iterations, and the final true
-    relative residual."""
+    (same mesh/degree/quadrature). ``diag32`` may be a vector (Jacobi,
+    default) or a callable preconditioner such as ``FDMSolver.apply`` —
+    callables route the inner solve through the plain CG (merged CG is
+    diagonal-only). Returns ``(x64, info)`` with ``n_outer``, total
+    ``n_inner`` CG iterations, and the final true relative residual."""
     assert b64.dtype == jnp.float64, "b must be f64 (the accumulation dtype)"
     inner_control = ReductionControl(
         inner_max, tolerance=0.0, reduction=inner_reduction,
@@ -62,12 +64,21 @@ def solve_cg_ir(
     if cache is None:
         cache = {}
         op32._ir_cache = cache
-    key = (id(op64), inner_control)
+    key = (id(op64), inner_control, callable(diag32))
     fns = cache.get(key)
     if fns is None:
-        inner = jax.jit(
-            lambda r32: solve_cg_merged(op32.vmult, r32, inner_control, diag=diag32)
-        )
+        if callable(diag32):
+            from .cg import solve_cg
+
+            inner = jax.jit(
+                lambda r32: solve_cg(op32.vmult, r32, inner_control, diag=diag32)
+            )
+        else:
+            inner = jax.jit(
+                lambda r32: solve_cg_merged(
+                    op32.vmult, r32, inner_control, diag=diag32
+                )
+            )
         # one fused jitted update: true f64 residual, correction add, norm
         @jax.jit
         def refine(x, b, e32):

@@ -55,3 +55,25 @@ def test_ir_zero_rhs():
     _, s64, op32, op64 = _ops(p=2, shape=(2, 2, 2))
     x, info = solve_cg_ir(op32, op64, jnp.zeros((s64.n_dofs,), jnp.float64))
     assert float(jnp.abs(x).max()) == 0.0 and info["n_outer"] == 0
+
+
+def test_ir_with_fdm_preconditioned_inner():
+    """Callable preconditioner (FDM) routes through plain inner CG and
+    slashes inner iteration counts on variable-coefficient systems."""
+    from deal_and_ceed_on_gpu_tpu.models import HelmholtzOperator
+    from deal_and_ceed_on_gpu_tpu.solvers import FDMSolver
+
+    mesh = BrickMesh((3, 3, 3))
+    s32 = FESpace.create(mesh, 3, rule="gauss", dtype=jnp.float32)
+    s64 = FESpace.create(mesh, 3, rule="gauss", dtype=jnp.float64)
+    op32 = HelmholtzOperator(s32, backend="structured")
+    op64 = HelmholtzOperator(s64, backend="structured")
+    b = assemble_rhs(s64, 1.0)
+
+    x_j, info_j = solve_cg_ir(op32, op64, b, rtol=1e-10)
+    x_f, info_f = solve_cg_ir(
+        op32, op64, b, rtol=1e-10, diag32=FDMSolver(s32).apply
+    )
+    assert info_f["res_rel"] <= 1e-10
+    assert info_f["n_inner"] < info_j["n_inner"] // 3
+    np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_j), rtol=1e-8, atol=1e-10)
