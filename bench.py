@@ -33,7 +33,13 @@ BASELINE_GDOFS = 1.0  # BASELINE.json north-star: >= 1 GDoF/s/chip
 def main():
     mesh = BrickMesh.bp5_cycle(CYCLE)
     space = FESpace.create(mesh, DEGREE, rule="gauss_lobatto", dtype=jnp.dtype(DTYPE))
-    op = PoissonOperator(space, backend="pallas")
+    # tile config from the measured sweep (RESULTS.md): BY=96 cuts the
+    # y-halo DMA re-read to 1.17x; needs the raised Mosaic VMEM limit
+    op = PoissonOperator(
+        space,
+        backend="pallas",
+        pallas_opts=dict(block_y=96, vmem_limit_bytes=100 << 20),
+    )
     n = space.n_dofs
 
     rng = np.random.default_rng(0)

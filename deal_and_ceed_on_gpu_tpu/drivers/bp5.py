@@ -318,7 +318,18 @@ def main():
         default="1",
         help="device-mesh decomposition: N (z slabs) or PZxPY (2D blocks)",
     )
+    ap.add_argument(
+        "--mxu-precision",
+        default="highest",
+        choices=["highest", "high", "default"],
+        help="MXU matmul precision for f32 paths (highest=bf16x6 exact, "
+        "high=bf16x3 ~2.6e-6 rel.err, default=bf16 ~8e-4 — benchmark-only)",
+    )
     args = ap.parse_args()
+    if args.mxu_precision != "highest":
+        from ..ops.sum_factorization import set_matmul_precision
+
+        set_matmul_precision(args.mxu_precision)
     cfg = BP5Config(
         degree=args.degree,
         n_iterations=args.iterations,

@@ -32,17 +32,20 @@ class PoissonOperator(MatrixFreeOperator):
         space: FESpace,
         backend: str = "structured",
         coefficient: str = "merged_const",
+        pallas_opts: dict | None = None,
     ):
         if backend == "pallas":
             # fused stencil kernel with the kernel-owned padded layout
-            # (ops/pallas_stencil.py); vectors are layout padded-flat
+            # (ops/pallas_stencil.py); vectors are layout padded-flat.
+            # pallas_opts: block_z / block_y / vmem_limit_bytes tile tuning
+            # (measured sweep in RESULTS.md).
             from ..ops.pallas_stencil import build_stencil_operator
 
             super().__init__(space, "separable")
             self.backend = "pallas"
             self.coefficient = coefficient
             self._stencil = build_stencil_operator(
-                space.mesh, space.basis, space.dtype
+                space.mesh, space.basis, space.dtype, **(pallas_opts or {})
             )
             return
         super().__init__(space, backend)
@@ -74,15 +77,42 @@ class PoissonOperator(MatrixFreeOperator):
 
     def vmult_padded(self, src: jnp.ndarray) -> jnp.ndarray:
         """dst = A src on layout-*padded* flat vectors (zero padding is an
-        invariant of the operator and of all CG updates, so entire solves run
-        in this layout; the mask also restores the never-written dead
-        strips to their zero src values)."""
+        invariant of the operator and of all CG updates, so entire solves
+        run in this layout).
+
+        Constraint handling costs only SURFACE traffic: the kernel's
+        scaling tables carry the Dirichlet mask (StencilLayout bakes zeros
+        into the boundary rows of S, so the kernel itself computes
+        ``M A M src``), leaving just (a) zeroing the pad strips output
+        tiles never cover and (b) copying the 6 boundary faces from src
+        (identity rows, ``bp5/step-64.cu:275``) — small strided updates
+        XLA performs in place, instead of full-volume where() passes
+        (measured: ~9% of the apply). Whole-plane copies are safe because
+        src's dead strips are zero by the layout invariant."""
         L = self._stencil.layout
-        mask = L.constrained_mask_expr()  # traced iota expr, no constants
+        from ..ops.pallas_stencil import YOFF
+
+        p = L.p
+        nz, ny, nx = L.real_shape
+        zt, yt, _ = L.padded_shape
+        zhi = p + L.nzb * L.BZ
+        yhi = YOFF + L.nyb * L.BY
         s3 = src.reshape(L.padded_shape)
-        u = jnp.where(mask, jnp.zeros((), src.dtype), s3).reshape(-1)
-        dst = self._stencil(u).reshape(L.padded_shape)
-        return jnp.where(mask, s3, dst).reshape(-1)
+        dst = self._stencil(src).reshape(L.padded_shape)
+        # (a) pad strips the output tiles never write
+        dst = dst.at[:p].set(0.0)
+        if zhi < zt:
+            dst = dst.at[zhi:].set(0.0)
+        dst = dst.at[:, :YOFF].set(0.0)
+        if yhi < yt:
+            dst = dst.at[:, yhi:].set(0.0)
+        # (b) Dirichlet identity faces
+        dst = dst.at[p].set(s3[p]).at[p + nz - 1].set(s3[p + nz - 1])
+        dst = dst.at[:, YOFF].set(s3[:, YOFF])
+        dst = dst.at[:, YOFF + ny - 1].set(s3[:, YOFF + ny - 1])
+        dst = dst.at[:, :, 0].set(s3[:, :, 0])
+        dst = dst.at[:, :, nx - 1].set(s3[:, :, nx - 1])
+        return dst.reshape(-1)
 
     def vmult(self, src: jnp.ndarray) -> jnp.ndarray:
         if self.backend == "pallas":

@@ -57,7 +57,8 @@ def _round_up(x, m):
 class StencilLayout:
     """Padded vector layout + scaled band tables for one (mesh, basis)."""
 
-    def __init__(self, mesh, basis, dtype, block_z=16, block_y=None):
+    def __init__(self, mesh, basis, dtype, block_z=16, block_y=None,
+                 vmem_limit_bytes=None):
         from .separable import _bands_from_dense, band_matrix_1d, diag_vector_1d
 
         assert basis.collocation, "stencil kernel requires GLL collocation"
@@ -83,6 +84,10 @@ class StencilLayout:
             block_y = 32
         BY = min(_round_up(block_y, 8), ny_eff)
         self.BZ, self.BY = BZ, BY
+        # Mosaic's scoped-VMEM accounting sums all 2p+1 roll temporaries
+        # instead of crediting reuse, so tiles that fit fine at runtime
+        # fail the default 16MB check; raising the limit unlocks them.
+        self.vmem_limit_bytes = vmem_limit_bytes
         # y-subtile: largest divisor of BY that is <= 32 (the static
         # subtile loop requires SY | BY)
         self.SY = next(s for s in range(min(BY, 32), 0, -1) if BY % s == 0)
@@ -117,6 +122,17 @@ class StencilLayout:
         bx_b, sx = axis(mx, nx, 0, nxp, coef["x"])
         by_b, sy = axis(my, ny, YOFF, yt, coef["y"])
         bz_b, sz = axis(mz, nz, p, zt, coef["z"])  # padded z coords
+
+        # Dirichlet masking baked into the scaling tables: zeroing the
+        # boundary rows of the per-axis sqrt-weight vectors makes the
+        # pointwise product S vanish exactly on the constrained set (a
+        # point is constrained iff ANY axis factor is zero), so the kernel
+        # computes M A M — the constrained operator — with ZERO extra
+        # traffic. vmult_padded then only has to write the identity rows
+        # (6 faces, surface-sized) instead of full-volume where() passes.
+        sx[0] = sx[nx - 1] = 0.0
+        sy[YOFF] = sy[YOFF + ny - 1] = 0.0
+        sz[p] = sz[p + nz - 1] = 0.0
 
         dt = self.dtype
         # Band-table layouts (see _kernel): z indexed by padded row
@@ -329,7 +345,10 @@ def _stencil_call(u, bz, by, bx, sz, syx, *, layout: StencilLayout, interpret):
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=L.vmem_limit_bytes,
+        ),
     )(u.reshape(L.padded_shape), bz, by, bx, sz, syx)
     return out.reshape(-1)
 
@@ -337,8 +356,12 @@ def _stencil_call(u, bz, by, bx, sz, syx, *, layout: StencilLayout, interpret):
 class build_stencil_operator:
     """Callable: flat padded u -> flat padded A_cell_loop(u)."""
 
-    def __init__(self, mesh, basis, dtype, block_z=16, block_y=None, interpret=False):
-        self.layout = StencilLayout(mesh, basis, dtype, block_z, block_y)
+    def __init__(self, mesh, basis, dtype, block_z=16, block_y=None,
+                 interpret=False, vmem_limit_bytes=None):
+        self.layout = StencilLayout(
+            mesh, basis, dtype, block_z, block_y,
+            vmem_limit_bytes=vmem_limit_bytes,
+        )
         self.interpret = interpret
 
     def __call__(self, u_padded_flat: jnp.ndarray) -> jnp.ndarray:

@@ -27,20 +27,41 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-__all__ = ["sweep", "evaluate", "integrate"]
+__all__ = ["sweep", "evaluate", "integrate", "set_matmul_precision"]
+
+# Default HIGHEST — on TPU the default matmul precision is bfloat16, which
+# is far too coarse for FEM operator application (observed 4e-3 relative
+# error); HIGHEST selects the multi-pass f32-exact MXU mode (bf16x6).
+# Measured alternative on the dev chip (cycle 33, f32 separable vmult):
+# HIGH (bf16x3) is 16% faster at 2.6e-6 relative error, DEFAULT 36% faster
+# at 7.7e-4 — benchmark-only modes, selectable via set_matmul_precision /
+# the drivers' --mxu-precision flag. f64 is unaffected (no MXU emulation).
+_MATMUL_PRECISION = jax.lax.Precision.HIGHEST
 
 
-def sweep(t: jnp.ndarray, mat: jnp.ndarray, axis: int, transpose: bool = False):
+def set_matmul_precision(precision: str | jax.lax.Precision) -> None:
+    """Set the MXU precision used by all subsequent sweep traces
+    ("highest" | "high" | "default"). Takes effect at TRACE time — call
+    before jitting operators, not between calls to an already-jitted one."""
+    global _MATMUL_PRECISION
+    if isinstance(precision, str):
+        precision = {
+            "highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT,
+        }[precision.lower()]
+    _MATMUL_PRECISION = precision
+
+
+def sweep(t: jnp.ndarray, mat: jnp.ndarray, axis: int, transpose: bool = False,
+          precision=None):
     """Contract ``axis`` of ``t`` with ``mat`` (``[q, a]``); the contracted
-    axis is replaced in place (size a -> q, or q -> a when transpose).
-
-    Precision: HIGHEST — on TPU the default matmul precision is bfloat16,
-    which is far too coarse for FEM operator application (observed 4e-3
-    relative error); HIGHEST selects the multi-pass f32-exact MXU mode."""
+    axis is replaced in place (size a -> q, or q -> a when transpose)."""
     axis = axis % t.ndim
     contract_dim = 0 if transpose else 1
     out = jnp.tensordot(
-        t, mat, axes=((axis,), (contract_dim,)), precision=jax.lax.Precision.HIGHEST
+        t, mat, axes=((axis,), (contract_dim,)),
+        precision=_MATMUL_PRECISION if precision is None else precision,
     )
     return jnp.moveaxis(out, -1, axis)
 

@@ -197,11 +197,11 @@ def test_l2_norm_on_mapped_mesh():
     space = FESpace.create(mesh, 2, rule="gauss", dtype=jnp.float64)
     u = space.node_coords()[:, 0]  # f(x) = x component
     norm = float(l2_norm_function(space, jnp.asarray(u)))
-    # int over brick of (X + sxy Y + sxz Z)^2 dX dY dZ (det = 1)
-    X, Y, Z = np.meshgrid(*([np.linspace(0, 1, 400)] * 3), indexing="ij")
-    f = X + s[0] * Y + s[1] * Z
-    exact = np.sqrt(np.trapezoid(np.trapezoid(np.trapezoid(f**2, Z[0, 0]), Y[0, :, 0]), X[:, 0, 0]))
-    np.testing.assert_allclose(norm, exact, rtol=1e-5)
+    # int over brick of (X + a Y + b Z)^2 dX dY dZ (det = 1), closed form:
+    # squares integrate to 1/3, every cross term to 1/4
+    a, b = s[0], s[1]
+    exact = np.sqrt((1 + a * a + b * b) / 3.0 + (a + b + a * b) / 2.0)
+    np.testing.assert_allclose(norm, exact, rtol=1e-12)
 
 
 def test_assemble_rhs_on_mapped_mesh_partition_of_unity():
