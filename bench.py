@@ -46,18 +46,18 @@ def main():
     u0 = jnp.asarray(rng.standard_normal(n), dtype=space.dtype)
     u = op.layout.pad_flat(u0 / jnp.linalg.norm(u0))
 
-    # scale to keep the chained applies bounded
+    # keep the chained applies bounded by folding the 1/lambda_est
+    # normalization INTO the operator tables (fold_scale) — each chain
+    # step is then one pure vmult, no extra elementwise pass
     vmult = jax.jit(op.vmult_padded)
     v = jax.block_until_ready(vmult(u))
     lam = float(jnp.linalg.norm(v))
-    scale = jnp.asarray(1.0 / max(lam, 1.0), dtype=space.dtype)
+    op.fold_scale(1.0 / max(lam, 1.0))
+    vmult = jax.jit(op.vmult_padded)
 
     @jax.jit
     def chain(u):
-        def body(i, v):
-            return vmult(v) * scale
-
-        return jax.lax.fori_loop(0, N_APPLIES, body, u)
+        return jax.lax.fori_loop(0, N_APPLIES, lambda i, v: vmult(v), u)
 
     jax.block_until_ready(chain(u))  # compile + warmup
     best = 0.0

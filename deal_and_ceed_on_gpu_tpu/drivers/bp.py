@@ -71,14 +71,13 @@ def run_sweep(
         if "vmult" in modes:
             u = b / jnp.linalg.norm(b)
             v = jax.block_until_ready(op.vmult(u))
-            scale = jnp.asarray(
-                1.0 / max(float(jnp.linalg.norm(v)), 1.0), dtype=space.dtype
-            )
+            # fold the normalization into the tables: pure chained applies
+            op.fold_scale(1.0 / max(float(jnp.linalg.norm(v)), 1.0))
 
             @jax.jit
             def chain(u):
                 return jax.lax.fori_loop(
-                    0, n_iterations, lambda i, v: op.vmult(v) * scale, u
+                    0, n_iterations, lambda i, v: op.vmult(v), u
                 )
 
             jax.block_until_ready(chain(u))

@@ -154,15 +154,16 @@ def run_cycle(cycle: int, cfg: BP5Config):
         solution = x
 
     if "vmult" in cfg.modes:
+        # fold the 1/lambda_est normalization into the operator tables so
+        # the chain is pure back-to-back applies (no extra elementwise pass)
         lam = estimate_lambda_max(op, space.n_dofs)
-        scale = jnp.asarray(1.0 / lam, dtype=dtype)
+        op.fold_scale(1.0 / lam)
 
         @jax.jit
         def chain(u):
-            def body(i, v):
-                return op.vmult(v) * scale
-
-            return jax.lax.fori_loop(0, cfg.n_iterations, body, u)
+            return jax.lax.fori_loop(
+                0, cfg.n_iterations, lambda i, v: op.vmult(v), u
+            )
 
         u0 = b / jnp.linalg.norm(b)
         jax.block_until_ready(chain(u0))

@@ -30,6 +30,11 @@ class MassOperator(MatrixFreeOperator):
             return
         self._jxw = jnp.asarray(self.jxw_layout(), dtype=space.dtype)
 
+    def fold_scale(self, s: float) -> None:
+        if self.backend == "separable":
+            return super().fold_scale(s)
+        self._jxw = self._jxw * s
+
     def quad_point_op(self, vals, grads):
         return vals * self._jxw, None
 

@@ -163,6 +163,22 @@ class MatrixFreeOperator:
     def __call__(self, src: jnp.ndarray) -> jnp.ndarray:
         return self.vmult(src)
 
+    def fold_scale(self, s: float) -> None:
+        """Rescale the operator in place: ``A <- s * A`` on unconstrained
+        rows (identity rows unaffected). Benchmark utility: chained-vmult
+        throughput loops fold their ``1/lambda_est`` normalization into
+        the coefficient tables so each iteration is one pure back-to-back
+        apply — the elementwise rescaling pass would otherwise add a full
+        read+write of the vector (~10% at 12.5M DoFs) that the reference's
+        vmult benchmark (``bp5/step-64.cu:519-548``) does not pay."""
+        if self._sep_terms is not None:
+            for t in self._sep_terms:
+                t["coef"] = t["coef"] * s
+            return
+        raise NotImplementedError(
+            f"{type(self).__name__} ({self.backend}) has no fold_scale"
+        )
+
     def diagonal(self) -> jnp.ndarray:
         """Preconditioner diagonal slot (reference L-12 ``DiagonalMatrix``).
         Both reference drivers fill it with 1.0 (``bp5/step-64.cu:428-432``);

@@ -122,6 +122,21 @@ class PoissonOperator(MatrixFreeOperator):
             return L.unpad_flat(self.vmult_padded(L.pad_flat(src)))
         return super().vmult(src)
 
+    def fold_scale(self, s: float) -> None:
+        if self.backend == "pallas":
+            # out = S (Bz + By + Bx) S u: scaling every band table by s
+            # scales the whole apply by s (identity faces unaffected)
+            L = self._stencil.layout
+            L.bz, L.by, L.bx = L.bz * s, L.by * s, L.bx * s
+            return
+        if self.backend in ("structured", "gather"):
+            if self.coefficient == "merged_const":
+                self._cdiag = tuple(c * s for c in self._cdiag)
+            else:
+                self._coef = self._coef * s
+            return
+        super().fold_scale(s)
+
     def compute_diagonal(self):
         from .operator_base import tensor_product_diagonal
 

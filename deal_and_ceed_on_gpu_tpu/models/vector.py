@@ -37,6 +37,9 @@ class VectorOperator:
     def __call__(self, src):
         return self.vmult(src)
 
+    def fold_scale(self, s: float) -> None:
+        self.scalar_op.fold_scale(s)
+
     def diagonal(self) -> jnp.ndarray:
         d = self.scalar_op.diagonal()
         return jnp.broadcast_to(d, (self.n_components,) + d.shape)

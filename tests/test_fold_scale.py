@@ -1,0 +1,49 @@
+"""fold_scale: in-place operator rescaling used by the chained-vmult
+benchmarks (drivers fold the 1/lambda normalization into the coefficient
+tables so each benchmark iteration is one pure apply)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deal_and_ceed_on_gpu_tpu import BrickMesh, FESpace
+from deal_and_ceed_on_gpu_tpu.models import MassOperator, PoissonOperator
+from deal_and_ceed_on_gpu_tpu.models.vector import VectorOperator
+
+
+@pytest.mark.parametrize("backend", ["structured", "gather", "separable", "pallas"])
+def test_poisson_fold_scale(backend):
+    mesh = BrickMesh((2, 3, 2))
+    space = FESpace.create(mesh, 2, rule="gauss_lobatto", dtype=jnp.float64)
+    u = jnp.asarray(np.random.default_rng(0).standard_normal(space.n_dofs))
+
+    op = PoissonOperator(space, backend=backend)
+    if backend == "pallas":
+        op._stencil.interpret = True
+    before = np.asarray(op.vmult(u))
+    op.fold_scale(0.25)
+    after = np.asarray(op.vmult(u))
+
+    mask = np.asarray(space.mesh.boundary_dof_mask(space.degree))
+    # identity (constrained) rows unaffected, the rest scaled by s
+    np.testing.assert_allclose(after[mask], before[mask], rtol=0, atol=0)
+    np.testing.assert_allclose(after[~mask], 0.25 * before[~mask], rtol=1e-14)
+
+
+@pytest.mark.parametrize("backend", ["structured", "separable"])
+def test_mass_and_vector_fold_scale(backend):
+    mesh = BrickMesh((2, 2, 2))
+    space = FESpace.create(mesh, 2, n_q=4, rule="gauss", dtype=jnp.float64)
+    op = VectorOperator(MassOperator(space, backend=backend), 3)
+    u = jnp.asarray(
+        np.random.default_rng(1).standard_normal((3, space.n_dofs))
+    )
+    before = np.asarray(op.vmult(u))
+    op.fold_scale(3.0)
+    after = np.asarray(op.vmult(u))
+    mask = np.asarray(space.mesh.boundary_dof_mask(space.degree))
+    np.testing.assert_allclose(after[:, mask], before[:, mask], rtol=0, atol=0)
+    # table-side scaling is not bitwise identical to output-side scaling
+    np.testing.assert_allclose(
+        after[:, ~mask], 3.0 * before[:, ~mask], rtol=1e-13, atol=1e-16
+    )
