@@ -153,6 +153,28 @@ def run_cycle(cycle: int, cfg: BP5Config):
         results["fdm-direct"] = space.n_dofs / best
         solution = x
 
+    if "pcg-mg" in cfg.modes:
+        # beyond the reference: geometric-multigrid-preconditioned CG
+        # (solvers/multigrid.py) — converges in a mesh-independent ~10
+        # iterations instead of the O(1/h) Jacobi counts
+        from ..solvers import Multigrid
+
+        mg = Multigrid(
+            space, make_op=lambda s: PoissonOperator(s, backend="separable")
+        )
+        f = jax.jit(lambda b: solve_cg(op.vmult, b, control, diag=mg.vcycle))
+        x, info = f(b)
+        jax.block_until_ready(x)
+        times, iters = [], []
+        for _ in range(cfg.n_repetitions):
+            t = Timer().start()
+            x, info = f(b)
+            t.stop(fence=(x, info["res_norm"]))
+            times.append(t.elapsed)
+            iters.append(int(info["n_iterations"]))
+        results["pcg-mg"] = _throughput_lines("pcg-mg", space.n_dofs, times, iters)
+        solution = x
+
     if "vmult" in cfg.modes:
         # fold the 1/lambda_est normalization into the operator tables so
         # the chain is pure back-to-back applies (no extra elementwise pass)

@@ -60,6 +60,14 @@ def run(
         diag = FDMSolver(space).apply
         if use_merged:
             raise ValueError("fdm preconditioning requires the plain solver")
+    elif precond == "mg":
+        from ..solvers import Multigrid
+
+        diag = Multigrid(
+            space, make_op=lambda s: HelmholtzOperator(s, backend=backend)
+        ).vcycle
+        if use_merged:
+            raise ValueError("mg preconditioning requires the plain solver")
     else:
         diag = op.diagonal()
     solver = solve_cg_merged if use_merged else solve_cg
@@ -90,12 +98,12 @@ def main():
     ap.add_argument(
         "--precond",
         default="none",
-        choices=["none", "jacobi", "fdm"],
-        help="none = reference DiagonalMatrix(1.0); jacobi/fdm = extras",
+        choices=["none", "jacobi", "fdm", "mg"],
+        help="none = reference DiagonalMatrix(1.0); jacobi/fdm/mg = extras",
     )
     args = ap.parse_args()
     for use_merged in (False, True):
-        if use_merged and args.precond == "fdm":
+        if use_merged and args.precond in ("fdm", "mg"):
             continue  # merged CG is diagonal-preconditioner-only
         pcout(f"--- use_merged = {use_merged} ---")
         run(

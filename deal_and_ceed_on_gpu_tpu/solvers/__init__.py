@@ -8,8 +8,10 @@ from .cg import solve_cg
 from .cg_merged import solve_cg_merged
 from .fdm import FDMSolver
 from .ir import solve_cg_ir
+from .multigrid import Multigrid
 
 __all__ = [
+    "Multigrid",
     "SolverControl",
     "IterationNumberControl",
     "ReductionControl",

@@ -1,0 +1,259 @@
+"""Geometric h-multigrid V-cycle preconditioner (framework extra).
+
+The reference solves BP5 with Jacobi-CG only (its ``DiagonalMatrix`` is even
+filled with 1.0, ``bp5/step-64.cu:428-432``); this module supplies the
+production-grade answer for meshes where the exact FDM tensor solve
+(solvers/fdm.py) does not apply — mapped (deformed) and graded geometries —
+and a mesh-independent-iteration-count CG preconditioner everywhere else.
+
+TPU-native structure:
+
+- **Hierarchy**: the structured brick coarsens by 2 per axis while all
+  element counts stay even (graded meshes sum adjacent widths; mapped
+  meshes keep their deformation — each level re-interpolates the map at
+  its own nodal points, the standard geometric-MG rediscretization).
+- **Transfers are exact and separable**: a degree-p FE function on a
+  coarse cell is a degree-p polynomial on each fine sub-cell, so the
+  coarse space NESTS in the fine space and prolongation is the 1D nodal
+  interpolation ``P = Pz (x) Py (x) Px`` — three banded sweeps on the
+  nodal grid, same machinery as the operator apply. Restriction is the
+  transpose sweeps (R = P^T), which keeps the V-cycle symmetric.
+- **Smoother**: Chebyshev polynomial in the Jacobi-preconditioned
+  operator (true ``compute_diagonal``), the standard matrix-free choice
+  (deal.II ``PreconditionChebyshev``); eigenvalue bound from a device
+  power iteration at setup. Chebyshev is a FIXED polynomial, so the
+  whole V-cycle is a linear symmetric operator — legal inside plain CG
+  (no flexible variant needed).
+- **Coarse solve**: the coarsest constrained operator is materialized by
+  one vmapped vmult over identity columns (operator-generic — no
+  assembly path needed) and inverted densely in f64 at setup; the
+  in-cycle coarse solve is a single tiny matmul.
+
+The V-cycle is a pure jittable function; levels unroll at trace time (the
+hierarchy depth is a Python constant, like the reference's template
+parameters).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..basis import lagrange_eval
+from ..fe_space import FESpace
+from ..mesh import BrickMesh
+from ..ops.sum_factorization import sweep
+
+__all__ = ["Multigrid", "coarsen_mesh", "prolongation_1d"]
+
+
+def coarsen_mesh(mesh: BrickMesh) -> BrickMesh:
+    """The mesh with every axis coarsened by 2 (inverse of
+    ``refine_global(1)``); graded meshes merge adjacent element pairs,
+    mapped meshes keep their deformation."""
+    mx, my, mz = mesh.n_elements
+    assert mx % 2 == 0 and my % 2 == 0 and mz % 2 == 0, mesh.n_elements
+    widths = None
+    if mesh.widths is not None:
+        widths = tuple(np.asarray(w).reshape(-1, 2).sum(axis=1) for w in mesh.widths)
+    return dataclasses.replace(
+        mesh, n_elements=(mx // 2, my // 2, mz // 2), widths=widths
+    )
+
+
+def prolongation_1d(
+    mc: int, p: int, nodes: np.ndarray, fine_widths: Optional[np.ndarray] = None
+) -> np.ndarray:
+    """1D nodal prolongation ``P[nf, nc]`` from a ``mc``-element degree-p
+    grid to its 2x refinement (nf = 2*mc*p+1, nc = mc*p+1). Exact: each
+    coarse basis polynomial is evaluated at the fine nodal points (graded
+    meshes split each coarse cell at the true width ratio)."""
+    nf, nc = 2 * mc * p + 1, mc * p + 1
+    P = np.zeros((nf, nc))
+    for e in range(mc):
+        if fine_widths is None:
+            t = 0.5
+        else:
+            w0, w1 = fine_widths[2 * e], fine_widths[2 * e + 1]
+            t = w0 / (w0 + w1)
+        # coarse-reference coordinates of the 2p+1 fine nodes in this cell
+        pts = np.concatenate([t * nodes, t + (1.0 - t) * nodes[1:]])
+        S, _ = lagrange_eval(nodes, pts)  # [2p+1, p+1]
+        P[2 * e * p : 2 * e * p + 2 * p + 1, e * p : e * p + p + 1] = S
+    return P
+
+
+def _chebyshev_bounds(vmult, dinv, space, smoothing_range, n_power=12):
+    """(lambda_min, lambda_max) for the Chebyshev smoother: power iteration
+    on D^-1 A over the constrained-zero subspace, with the deal.II-style
+    1.2x safety factor and lambda_min = lambda_max / smoothing_range."""
+    u0 = jnp.asarray(
+        np.random.default_rng(42).standard_normal(space.n_dofs),
+        dtype=space.dtype,
+    )
+    u0 = space.zero_constrained_values(u0)
+
+    @jax.jit
+    def power(u):
+        def body(i, carry):
+            u, lam = carry
+            v = dinv * vmult(u)
+            v = space.zero_constrained_values(v)
+            lam = jnp.linalg.norm(v) / jnp.linalg.norm(u)
+            return v / jnp.linalg.norm(v), lam
+
+        return jax.lax.fori_loop(
+            0, n_power, body, (u / jnp.linalg.norm(u), jnp.array(1.0, space.dtype))
+        )[1]
+
+    lam_max = 1.2 * float(power(u0))
+    return lam_max / smoothing_range, lam_max
+
+
+class Multigrid:
+    """Geometric multigrid V-cycle; use ``mg.vcycle`` as the callable
+    preconditioner of :func:`solve_cg` (or compose with solvers/ir.py for
+    mixed-precision outer refinement).
+
+    make_op: ``FESpace -> operator`` with ``vmult`` + ``compute_diagonal``
+    (any MatrixFreeOperator). Default: Poisson on the level-appropriate
+    fast backend.
+    """
+
+    def __init__(
+        self,
+        space: FESpace,
+        make_op: Optional[Callable[[FESpace], object]] = None,
+        smooth_degree: int = 3,
+        smoothing_range: float = 20.0,
+        coarse_max_dofs: int = 4000,
+        min_levels: int = 2,
+    ):
+        if make_op is None:
+            from ..models import PoissonOperator
+
+            def make_op(s):
+                backend = "structured" if s.mesh.is_mapped else "separable"
+                return PoissonOperator(s, backend=backend)
+
+        self.smooth_degree = smooth_degree
+
+        # ---------------- hierarchy ---------------- #
+        spaces = [space]
+        while (
+            all(m % 2 == 0 for m in spaces[-1].mesh.n_elements)
+            and spaces[-1].n_dofs > coarse_max_dofs
+        ):
+            spaces.append(
+                FESpace(coarsen_mesh(spaces[-1].mesh), space.basis, space.dtype)
+            )
+        if len(spaces) < min_levels:
+            raise ValueError(
+                f"mesh {space.mesh.n_elements} cannot coarsen: "
+                f"{space.n_dofs} DoFs in a single level (need even element "
+                "counts to build a hierarchy)"
+            )
+        self.spaces = spaces
+        self.ops = [make_op(s) for s in spaces]
+
+        # per-level Jacobi diagonals + Chebyshev bounds
+        self.dinv = [op.jacobi_preconditioner() for op in self.ops]
+        self.bounds = [
+            _chebyshev_bounds(op.vmult, dinv, s, smoothing_range)
+            for op, dinv, s in zip(self.ops[:-1], self.dinv[:-1], spaces[:-1])
+        ]
+
+        # per-level-pair 1D prolongation tables (coarse -> fine), in the
+        # sweep convention mat[out, in]
+        p = space.degree
+        nodes = space.basis.nodes
+        self.prolong_mats = []
+        for fine, coarse in zip(spaces[:-1], spaces[1:]):
+            mats = []
+            for ax, mc in enumerate(coarse.mesh.n_elements):  # (mx, my, mz)
+                fw = None if fine.mesh.widths is None else fine.mesh.widths[ax]
+                mats.append(
+                    jnp.asarray(prolongation_1d(mc, p, nodes, fw), dtype=space.dtype)
+                )
+            # grid axes are (z, y, x) = mesh axes (2, 1, 0)
+            self.prolong_mats.append((mats[2], mats[1], mats[0]))
+
+        # ---------------- dense coarse inverse ---------------- #
+        cs = spaces[-1]
+        eye = jnp.eye(cs.n_dofs, dtype=cs.dtype)
+        cols = jax.vmap(self.ops[-1].vmult)(eye)  # rows i = A e_i => A^T
+        A_c = np.asarray(cols, dtype=np.float64).T
+        self._coarse_inv = jnp.asarray(np.linalg.inv(A_c), dtype=cs.dtype)
+
+    @property
+    def n_levels(self) -> int:
+        return len(self.spaces)
+
+    # ------------------------- components ------------------------- #
+    def _prolong(self, level: int, u_c: jnp.ndarray) -> jnp.ndarray:
+        """coarse (level+1) -> fine (level) nodal interpolation."""
+        Pz, Py, Px = self.prolong_mats[level]
+        u = u_c.reshape(self.spaces[level + 1].grid_shape)
+        u = sweep(sweep(sweep(u, Px, 2), Py, 1), Pz, 0)
+        return u.reshape(-1)
+
+    def _restrict(self, level: int, r_f: jnp.ndarray) -> jnp.ndarray:
+        """fine (level) -> coarse (level+1): R = P^T (transpose sweeps),
+        then zero coarse constrained rows (the residual lives in the
+        homogeneous-Dirichlet subspace on every level)."""
+        Pz, Py, Px = self.prolong_mats[level]
+        r = r_f.reshape(self.spaces[level].grid_shape)
+        r = sweep(
+            sweep(sweep(r, Px, 2, transpose=True), Py, 1, transpose=True),
+            Pz,
+            0,
+            transpose=True,
+        )
+        return self.spaces[level + 1].zero_constrained_values(r.reshape(-1))
+
+    def _smooth(self, level: int, r: jnp.ndarray, z0=None) -> jnp.ndarray:
+        """``smooth_degree`` steps of Chebyshev iteration on A z = r
+        (initial guess z0), the fixed polynomial smoother in D^-1 A."""
+        vmult, dinv = self.ops[level].vmult, self.dinv[level]
+        lam_min, lam_max = self.bounds[level]
+        theta = 0.5 * (lam_max + lam_min)
+        delta = 0.5 * (lam_max - lam_min)
+        sigma = theta / delta
+
+        res = r if z0 is None else r - vmult(z0)
+        d = (1.0 / theta) * (dinv * res)
+        z = d if z0 is None else z0 + d
+        rho_old = 1.0 / sigma
+        for _ in range(1, self.smooth_degree):
+            rho = 1.0 / (2.0 * sigma - rho_old)
+            d = (rho * rho_old) * d + (2.0 * rho / delta) * (dinv * (r - vmult(z)))
+            z = z + d
+            rho_old = rho
+        return z
+
+    # --------------------------- V-cycle --------------------------- #
+    def vcycle(self, r: jnp.ndarray) -> jnp.ndarray:
+        """One symmetric V(k,k) cycle applied to a residual: the
+        preconditioner callable (plug into solve_cg's ``diag`` slot).
+        Linear and symmetric, so plain (non-flexible) CG is sound."""
+        return self._vcycle(0, self.spaces[0].zero_constrained_values(r))
+
+    def _vcycle(self, level: int, r: jnp.ndarray) -> jnp.ndarray:
+        if level == self.n_levels - 1:
+            # pinned precision: the default bf16 matmul would put a ~1e-3
+            # error on the coarse correction (see ops/sum_factorization.py)
+            return jnp.matmul(
+                self._coarse_inv, r, precision=jax.lax.Precision.HIGHEST
+            )
+        z = self._smooth(level, r)  # pre-smooth from zero
+        res = r - self.ops[level].vmult(z)
+        zc = self._vcycle(level + 1, self._restrict(level, res))
+        z = z + self._prolong(level, zc)
+        return self._smooth(level, r, z0=z)  # post-smooth
+
+    def __call__(self, r: jnp.ndarray) -> jnp.ndarray:
+        return self.vcycle(r)
