@@ -4,6 +4,7 @@ from .dist_adaptive import (
     DistAdaptivePoisson,
     solve_cg_merged_dist_adaptive,
 )
+from .dist_multigrid import DistMultigrid, solve_cg_mg_dist
 from .dist_operator import DistOperator, DistPoissonOperator, halo_combine
 from .dist_solve import (
     make_device_mesh,
@@ -19,8 +20,10 @@ __all__ = [
     "DistAdaptivePoisson",
     "SlabPartition",
     "solve_cg_merged_dist_adaptive",
+    "DistMultigrid",
     "DistOperator",
     "DistPoissonOperator",
+    "solve_cg_mg_dist",
     "halo_combine",
     "make_device_mesh",
     "make_dist_solver",

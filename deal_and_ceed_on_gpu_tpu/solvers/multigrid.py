@@ -48,7 +48,29 @@ from ..fe_space import FESpace
 from ..mesh import BrickMesh
 from ..ops.sum_factorization import sweep
 
-__all__ = ["Multigrid", "coarsen_mesh", "prolongation_1d"]
+__all__ = ["Multigrid", "coarsen_mesh", "prolongation_1d", "chebyshev_smooth"]
+
+
+def chebyshev_smooth(vmult, dinv, bounds, degree, r, z0=None):
+    """``degree`` steps of Chebyshev iteration on ``A z = r`` (initial
+    guess z0), the fixed polynomial in the Jacobi-preconditioned operator
+    — shared by the single-device and distributed V-cycles. ``dinv`` may
+    be a vector or any broadcastable array."""
+    lam_min, lam_max = bounds
+    theta = 0.5 * (lam_max + lam_min)
+    delta = 0.5 * (lam_max - lam_min)
+    sigma = theta / delta
+
+    res = r if z0 is None else r - vmult(z0)
+    d = (1.0 / theta) * (dinv * res)
+    z = d if z0 is None else z0 + d
+    rho_old = 1.0 / sigma
+    for _ in range(1, degree):
+        rho = 1.0 / (2.0 * sigma - rho_old)
+        d = (rho * rho_old) * d + (2.0 * rho / delta) * (dinv * (r - vmult(z)))
+        z = z + d
+        rho_old = rho
+    return z
 
 
 def coarsen_mesh(mesh: BrickMesh) -> BrickMesh:
@@ -131,7 +153,6 @@ class Multigrid:
         smooth_degree: int = 3,
         smoothing_range: float = 20.0,
         coarse_max_dofs: int = 4000,
-        min_levels: int = 2,
     ):
         if make_op is None:
             from ..models import PoissonOperator
@@ -151,11 +172,13 @@ class Multigrid:
             spaces.append(
                 FESpace(coarsen_mesh(spaces[-1].mesh), space.basis, space.dtype)
             )
-        if len(spaces) < min_levels:
+        if len(spaces) == 1 and space.n_dofs > coarse_max_dofs:
             raise ValueError(
                 f"mesh {space.mesh.n_elements} cannot coarsen: "
                 f"{space.n_dofs} DoFs in a single level (need even element "
-                "counts to build a hierarchy)"
+                "counts to build a hierarchy). A mesh at or below "
+                f"coarse_max_dofs={coarse_max_dofs} would instead use the "
+                "exact dense solve as a single-level preconditioner."
             )
         self.spaces = spaces
         self.ops = [make_op(s) for s in spaces]
@@ -216,24 +239,14 @@ class Multigrid:
         return self.spaces[level + 1].zero_constrained_values(r.reshape(-1))
 
     def _smooth(self, level: int, r: jnp.ndarray, z0=None) -> jnp.ndarray:
-        """``smooth_degree`` steps of Chebyshev iteration on A z = r
-        (initial guess z0), the fixed polynomial smoother in D^-1 A."""
-        vmult, dinv = self.ops[level].vmult, self.dinv[level]
-        lam_min, lam_max = self.bounds[level]
-        theta = 0.5 * (lam_max + lam_min)
-        delta = 0.5 * (lam_max - lam_min)
-        sigma = theta / delta
-
-        res = r if z0 is None else r - vmult(z0)
-        d = (1.0 / theta) * (dinv * res)
-        z = d if z0 is None else z0 + d
-        rho_old = 1.0 / sigma
-        for _ in range(1, self.smooth_degree):
-            rho = 1.0 / (2.0 * sigma - rho_old)
-            d = (rho * rho_old) * d + (2.0 * rho / delta) * (dinv * (r - vmult(z)))
-            z = z + d
-            rho_old = rho
-        return z
+        return chebyshev_smooth(
+            self.ops[level].vmult,
+            self.dinv[level],
+            self.bounds[level],
+            self.smooth_degree,
+            r,
+            z0,
+        )
 
     # --------------------------- V-cycle --------------------------- #
     def vcycle(self, r: jnp.ndarray) -> jnp.ndarray:

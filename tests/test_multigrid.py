@@ -148,8 +148,22 @@ def test_mg_helmholtz():
     np.testing.assert_allclose(np.asarray(x), x_direct, rtol=1e-8, atol=1e-12)
 
 
-def test_mg_rejects_uncoarsenable_mesh():
-    mesh = BrickMesh((3, 5, 7))
-    space = FESpace.create(mesh, 2, dtype=jnp.float64)
+def test_mg_rejects_uncoarsenable_large_mesh():
+    mesh = BrickMesh((5, 5, 5))
+    space = FESpace.create(mesh, 3, dtype=jnp.float64)  # 4096 > 4000 DoFs
     with pytest.raises(ValueError, match="cannot coarsen"):
         Multigrid(space)
+
+
+def test_mg_small_mesh_degenerates_to_dense_direct():
+    """A fine mesh already at/below coarse_max_dofs becomes a single-level
+    exact preconditioner: CG converges in one iteration."""
+    mesh = BrickMesh((3, 3, 3))
+    space = FESpace.create(mesh, 2, rule="gauss_lobatto", dtype=jnp.float64)
+    op = PoissonOperator(space, backend="separable")
+    mg = Multigrid(space)
+    assert mg.n_levels == 1
+    b, x, n_it = _solve(space, op, mg)
+    assert n_it <= 2, n_it
+    r = float(jnp.linalg.norm(b - op.vmult(x)) / jnp.linalg.norm(b))
+    assert r < 1e-10, r
