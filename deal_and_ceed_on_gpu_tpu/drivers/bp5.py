@@ -290,6 +290,31 @@ def run_cycle_distributed(
         )
         results["n_iterations"] = iters[-1]
 
+    if "fdm-direct" in cfg.modes:
+        # distributed exact FDM solve: 8 all_to_all shard transposes
+        from ..parallel import DistFDM
+
+        dfdm = DistFDM(part, dtype=dtype, rule=cfg.rule, n_q=cfg.n_q)
+        x = dfdm.solve_direct(b_stacked, mesh=devmesh)
+        jax.block_until_ready(x)
+        times = []
+        for _ in range(cfg.n_repetitions):
+            t = Timer().start()
+            x = dfdm.solve_direct(b_stacked, mesh=devmesh)
+            t.stop(fence=x)
+            times.append(t.elapsed)
+        op_chk = PoissonOperator(space, backend=cfg.backend)
+        x_glob = jnp.asarray(
+            part.from_blocks(np.asarray(x)).reshape(-1)
+        )
+        rel = float(jnp.linalg.norm(b - op_chk.vmult(x_glob)) / norm_b)
+        for t in times:
+            pcout(f"   FDM direct solve in time {t:.6f} (rel res {rel:.2e})")
+        best = min(times)
+        pcout(f"fdm-direct {space.n_dofs // n_shards} {space.n_dofs / best / n_shards:.6g}")
+        pcout("")
+        results["fdm-direct"] = space.n_dofs / best / n_shards
+
     if "vmult" in cfg.modes:
         vmult = make_dist_vmult(dist_op, devmesh)
         op_single = PoissonOperator(space, backend=cfg.backend)

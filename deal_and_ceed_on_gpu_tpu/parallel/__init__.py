@@ -4,6 +4,7 @@ from .dist_adaptive import (
     DistAdaptivePoisson,
     solve_cg_merged_dist_adaptive,
 )
+from .dist_fdm import DistFDM, solve_cg_fdm_dist
 from .dist_multigrid import DistMultigrid, solve_cg_mg_dist
 from .dist_operator import DistOperator, DistPoissonOperator, halo_combine
 from .dist_solve import (
@@ -20,8 +21,10 @@ __all__ = [
     "DistAdaptivePoisson",
     "SlabPartition",
     "solve_cg_merged_dist_adaptive",
+    "DistFDM",
     "DistMultigrid",
     "DistOperator",
+    "solve_cg_fdm_dist",
     "DistPoissonOperator",
     "solve_cg_mg_dist",
     "halo_combine",
