@@ -31,8 +31,8 @@ Setup (per-level Jacobi diagonals, Chebyshev bounds, dense coarse
 inverse) runs on the single-device GLOBAL operator per level — the
 spectrum is identical, and setup is one-time.
 
-Scope: uniform and mapped global meshes (graded needs per-shard-width
-prolongation tables; use the single-device :class:`Multigrid` there).
+Scope: uniform, graded (per-shard width-aware prolongation stacks) and
+mapped global meshes.
 """
 
 from __future__ import annotations
@@ -105,12 +105,6 @@ class DistMultigrid:
         coarse_max_dofs: int = 4000,
         **op_kwargs,
     ):
-        if part.mesh.widths is not None:
-            raise ValueError(
-                "DistMultigrid: uniform/mapped global meshes only (graded "
-                "needs per-shard-width prolongation tables; use the "
-                "single-device Multigrid)"
-            )
         self.smooth_degree = smooth_degree
         self.dtype = jnp.dtype(dtype)
 
@@ -165,17 +159,43 @@ class DistMultigrid:
         A_c = np.asarray(jax.vmap(cop.vmult)(eye), dtype=np.float64).T
         self._coarse_inv = jnp.asarray(np.linalg.inv(A_c), dtype=dtype)
 
-        # per-level-pair 1D prolongation tables (local z/y blocks + global x)
+        # Per-level-pair 1D prolongation tables: per-SHARD stacks along the
+        # partitioned z/y axes (graded meshes split each coarse cell at
+        # the true width ratio, and every shard's local block has its own
+        # widths; dead-padding cells get unit widths — their P block only
+        # ever sees exact zeros), plus one global x table. The stacks are
+        # tiny, so they ride as replicated closure constants indexed by
+        # axis_index inside shard_map.
         p = part.degree
         nodes = gops[0][0].basis.nodes
+
+        def _axis_stacks(fine, coarse, which):
+            if which == "z":
+                n_sh, mloc_c, ax = fine.pz, coarse.mz_local, 2
+            else:
+                n_sh, mloc_c, ax = fine.py, coarse.my_local, 1
+            if fine.mesh.widths is None:
+                Pm = prolongation_1d(mloc_c, p, nodes)
+                return np.broadcast_to(Pm, (n_sh,) + Pm.shape)
+            w = np.asarray(fine.mesh.widths[ax])
+            w = np.pad(w, (0, n_sh * 2 * mloc_c - w.size), constant_values=1.0)
+            return np.stack([
+                prolongation_1d(
+                    mloc_c, p, nodes,
+                    w[k * 2 * mloc_c : (k + 1) * 2 * mloc_c],
+                )
+                for k in range(n_sh)
+            ])
+
         self.prolong_mats = []
         for fine, coarse in zip(parts[:-1], parts[1:]):
-            Pz = prolongation_1d(coarse.mz_local, p, nodes)
-            Py = prolongation_1d(coarse.my_local, p, nodes)
-            Px = prolongation_1d(coarse.mesh.n_elements[0], p, nodes)
-            self.prolong_mats.append(
-                tuple(jnp.asarray(m, dtype=dtype) for m in (Pz, Py, Px))
-            )
+            fx = None if fine.mesh.widths is None else np.asarray(fine.mesh.widths[0])
+            Px = prolongation_1d(coarse.mesh.n_elements[0], p, nodes, fx)
+            self.prolong_mats.append((
+                jnp.asarray(_axis_stacks(fine, coarse, "z"), dtype=dtype),
+                jnp.asarray(_axis_stacks(fine, coarse, "y"), dtype=dtype),
+                jnp.asarray(Px, dtype=dtype),
+            ))
 
         # shard_map operand bookkeeping: [dinv_l, *tables_l] per level < last
         self.operands = []
@@ -215,6 +235,18 @@ class DistMultigrid:
             z0,
         )
 
+    def _level_mats(self, level):
+        """This shard's (Pz, Py, Px) for the level -> level+1 pair."""
+        part = self.parts[level]
+        Pz_s, Py_s, Px = self.prolong_mats[level]
+        iz = lax.axis_index(part.axis_z)
+        iy = lax.axis_index(part.axis_y)
+        return (
+            lax.dynamic_index_in_dim(Pz_s, iz, 0, keepdims=False),
+            lax.dynamic_index_in_dim(Py_s, iy, 0, keepdims=False),
+            Px,
+        )
+
     def _restrict(self, level, r):
         """fine level -> level+1: count each shared/dup fine plane once,
         local P^T sweeps, add partial coarse sums across neighbors, zero
@@ -223,7 +255,7 @@ class DistMultigrid:
         iz = lax.axis_index(part_f.axis_z)
         iy = lax.axis_index(part_f.axis_y)
         w = part_f.local_dot_weight(iz, iy, r.dtype)
-        Pz, Py, Px = self.prolong_mats[level]
+        Pz, Py, Px = self._level_mats(level)
         rc = sweep(
             sweep(sweep(r * w, Px, 2, transpose=True), Py, 1, transpose=True),
             Pz,
@@ -237,7 +269,7 @@ class DistMultigrid:
     def _prolong(self, level, u_c):
         """level+1 -> fine level: communication-free local sweeps (ghost
         planes come out bit-identical on all sharers)."""
-        Pz, Py, Px = self.prolong_mats[level]
+        Pz, Py, Px = self._level_mats(level)
         return sweep(sweep(sweep(u_c, Px, 2), Py, 1), Pz, 0)
 
     def _coarse_solve(self, r):

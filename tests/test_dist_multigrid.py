@@ -96,10 +96,20 @@ def test_dist_mg_mapped_mesh():
     np.testing.assert_allclose(x, np.asarray(x_ref), rtol=1e-8, atol=1e-12)
 
 
-def test_dist_mg_rejects_graded():
+def test_dist_mg_graded_mesh():
+    """Graded tensor mesh: per-shard width-aware prolongation stacks."""
+    bz = np.cumsum(np.r_[0, 0.7 ** np.arange(8)[::-1]])
     mesh = BrickMesh.graded(
-        np.array([0, 0.3, 1.0]), np.linspace(0, 1, 5), np.linspace(0, 1, 5)
+        np.linspace(0, 1, 5), np.linspace(0, 1, 5), bz / bz[-1]
     )
-    part = BlockPartition(mesh, 2, pz=2)
-    with pytest.raises(ValueError, match="uniform/mapped"):
-        DistMultigrid(part, dtype=jnp.float64)
+    p = 2
+    space, b, x_ref, it_ref, control = _reference(mesh, p)
+    part = BlockPartition(mesh, p, pz=4, py=2)
+    dmg = DistMultigrid(
+        part, dtype=jnp.float64, backend="structured", coarse_max_dofs=500
+    )
+    b_blocks = jnp.asarray(part.to_blocks(np.asarray(b).reshape(space.grid_shape)))
+    x_blocks, info = solve_cg_mg_dist(dmg, b_blocks, control, mesh=make_device_mesh(4, 2))
+    assert abs(int(info["n_iterations"]) - it_ref) <= 2
+    x = part.from_blocks(np.asarray(x_blocks)).reshape(-1)
+    np.testing.assert_allclose(x, np.asarray(x_ref), rtol=1e-8, atol=1e-12)
