@@ -36,7 +36,16 @@ from .mesh import BrickMesh
 from .ops import local_global as lg
 from .ops import sum_factorization as sf
 
-__all__ = ["AdaptiveMesh", "AdaptivePoissonOperator", "assemble_rhs_adaptive"]
+__all__ = [
+    "AdaptiveMesh",
+    "AdaptiveSpace",
+    "AdaptivePoissonOperator",
+    "assemble_rhs_adaptive",
+    "estimate_gradient_recovery",
+    "mark_doerfler",
+    "evaluate_at_points",
+    "amr_loop",
+]
 
 _TOL = 1e-9
 
@@ -392,15 +401,154 @@ class AdaptivePoissonOperator:
         return jnp.ones((self.space.n_dofs,), dtype=self.space.dtype)
 
 
-def assemble_rhs_adaptive(space: AdaptiveSpace, f: float = 1.0) -> jnp.ndarray:
+def _cell_qpoints(space: AdaptiveSpace) -> np.ndarray:
+    """Physical quadrature (= nodal, GLL collocation) points per active
+    cell: ``[n_cells, q, q, q, 3]`` in local (z, y, x) order."""
+    gll = space.basis.nodes
+    o, h = space.mesh.origins, space.mesh.sizes
+    q1 = gll.shape[0]
+    X = np.zeros((space.mesh.n_cells, q1, q1, q1, 3))
+    for d in range(3):
+        axis_pts = o[:, d, None] + h[:, d, None] * gll[None, :]  # [E, q1]
+        shape = [1, 1, 1]
+        shape[2 - d] = q1  # local (k, j, i) = (z, y, x)
+        X[..., d] = axis_pts.reshape((-1,) + tuple(shape))
+    return X
+
+
+def assemble_rhs_adaptive(space: AdaptiveSpace, f=1.0) -> jnp.ndarray:
     """b_i = integral(f phi_i) over the adaptive mesh, condensed onto the
-    conforming subspace and zeroed on constrained rows."""
+    conforming subspace and zeroed on constrained rows. ``f`` may be a
+    constant or a callable of physical coordinates ``f(x[..., 3])``."""
     op = AdaptivePoissonOperator(space)
     q1 = space.basis.n_q
-    integrand = jnp.broadcast_to(
-        f * op._jxw, (space.mesh.n_cells, q1, q1, q1)
-    ).astype(space.dtype)
+    if callable(f):
+        fq = np.asarray(f(_cell_qpoints(space)), dtype=np.float64)
+        integrand = (jnp.asarray(fq, dtype=space.dtype) * op._jxw).astype(
+            space.dtype
+        )
+    else:
+        integrand = jnp.broadcast_to(
+            float(f) * op._jxw, (space.mesh.n_cells, q1, q1, q1)
+        ).astype(space.dtype)
     vl = sf.integrate(integrand, None, op.S, op.D, (1, 2, 3), True)
     b = lg.scatter_indexed(vl, space.elem_dof_map, space.n_dofs)
     b = space.condense(b)
     return jnp.where(space.constrained_mask, jnp.zeros((), b.dtype), b)
+
+
+# --------------------------------------------------------------------- #
+# error estimation + marking: the AMR workflow (framework extra — the
+# reference relies on uniform sweeps; this is the deal.II step-6-style
+# solve -> estimate -> mark -> refine loop on the TPU formulation)
+# --------------------------------------------------------------------- #
+def estimate_gradient_recovery(
+    space: AdaptiveSpace, op: AdaptivePoissonOperator, u: jnp.ndarray
+) -> np.ndarray:
+    """Per-active-cell error indicators ``eta_K`` by Zienkiewicz-Zhu
+    gradient recovery:
+
+        eta_K^2 = int_K | grad u_h - R(grad u_h) |^2
+
+    with ``R`` the node-averaged (multiplicity-weighted) recovery of the
+    elementwise-discontinuous gradient field — the smoothness of
+    ``R grad u_h`` makes the difference a classic a-posteriori indicator
+    concentrating on inter-element gradient jumps (the same role deal.II's
+    KellyErrorEstimator plays for its tutorial AMR loops). Fully reuses
+    the collocation cell loop: one gather + D sweeps, one scatter-mean,
+    one gather, one weighted reduction. Returns host ``[n_cells]``."""
+    s = space
+    uf = s.distribute(jnp.where(s.hanging_mask, jnp.zeros((), u.dtype), u))
+    ul = lg.gather_indexed(uf, s.elem_dof_map, s.degree)
+    _, grads = sf.evaluate(ul, op.S, op.D, (1, 2, 3), False, True, True)
+    h = jnp.asarray(s.mesh.sizes, dtype=s.dtype)  # [E, 3]
+    phys = [
+        grads[d] / h[:, d, None, None, None] for d in range(3)
+    ]  # d/dx, d/dy, d/dz at the nodal points
+
+    counts = lg.scatter_indexed(
+        jnp.ones_like(ul), s.elem_dof_map, s.n_dofs
+    )
+    eta2 = jnp.zeros((s.mesh.n_cells,), dtype=s.dtype)
+    for g in phys:
+        Rg = lg.scatter_indexed(g, s.elem_dof_map, s.n_dofs) / counts
+        diff = g - lg.gather_indexed(Rg, s.elem_dof_map, s.degree)
+        eta2 = eta2 + jnp.sum(diff * diff * op._jxw, axis=(1, 2, 3))
+    return np.sqrt(np.asarray(eta2))
+
+
+def mark_doerfler(eta: np.ndarray, theta: float = 0.5) -> np.ndarray:
+    """Doerfler (bulk-chasing) marking: the smallest set of cells whose
+    squared indicators sum to ``theta`` of the total."""
+    eta2 = np.asarray(eta, dtype=np.float64) ** 2
+    order = np.argsort(eta2)[::-1]
+    csum = np.cumsum(eta2[order])
+    k = int(np.searchsorted(csum, theta * csum[-1])) + 1
+    return order[:k]
+
+
+def evaluate_at_points(
+    space: AdaptiveSpace, u: jnp.ndarray, pts: np.ndarray
+) -> np.ndarray:
+    """Point evaluation of the FE function on the adaptive mesh (host):
+    locate the active cell containing each point, tensor Lagrange eval."""
+    s = space
+    uf = np.asarray(s.distribute(jnp.asarray(u)))
+    gll = s.basis.nodes
+    lo, sz = s.mesh.origins, s.mesh.sizes
+    out = np.zeros(len(pts))
+    dof_map = s._dof_map_np
+    p1 = s.degree + 1
+    for i, x in enumerate(np.asarray(pts, dtype=np.float64)):
+        t = (x[None, :] - lo) / sz
+        inside = np.all((t > -_TOL) & (t < 1 + _TOL), axis=1)
+        e = int(np.flatnonzero(inside)[0])
+        w = np.ones((p1, p1, p1))
+        for d in range(3):
+            S, _ = lagrange_eval(gll, np.array([np.clip(t[e, d], 0.0, 1.0)]))
+            shape = [1, 1, 1]
+            shape[2 - d] = p1
+            w = w * S[0].reshape(shape)
+        out[i] = float(uf[dof_map[e]].reshape(-1) @ w.reshape(-1))
+    return out
+
+
+def amr_loop(
+    base: BrickMesh,
+    degree: int,
+    f=1.0,
+    n_steps: int = 3,
+    theta: float = 0.5,
+    reduction: float = 1e-10,
+    max_iterations: int = 800,
+):
+    """The solve -> estimate -> mark -> refine loop. Returns the per-step
+    history: dicts with ``space``, ``x``, ``n_dofs``, ``n_cells``,
+    ``eta`` (global estimate), ``n_iterations``."""
+    from .solvers import ReductionControl, solve_cg_merged
+
+    mesh = AdaptiveMesh.from_brick(base)
+    history = []
+    for step in range(n_steps + 1):
+        space = AdaptiveSpace(mesh, degree)
+        op = AdaptivePoissonOperator(space)
+        b = assemble_rhs_adaptive(space, f)
+        control = ReductionControl(
+            max_iterations, tolerance=0.0, reduction=reduction
+        )
+        x, info = solve_cg_merged(op.vmult, b, control)
+        eta = estimate_gradient_recovery(space, op, x)
+        history.append(
+            {
+                "space": space,
+                "x": x,
+                "n_dofs": space.n_dofs,
+                "n_cells": mesh.n_cells,
+                "eta": float(np.sqrt((eta**2).sum())),
+                "eta_cells": eta,
+                "n_iterations": int(info["n_iterations"]),
+            }
+        )
+        if step < n_steps:
+            mesh = mesh.refine_active(mark_doerfler(eta, theta))
+    return history
