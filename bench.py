@@ -2,8 +2,10 @@
 """Benchmark entry point for the driver: BP5 operator-apply throughput.
 
 Uses the fused Pallas stencil kernel on the padded vector layout
-(ops/pallas_stencil.py) — the fastest operator path; the jnp separable
-backend is the fallback.
+(ops/pallas_stencil.py) — the fastest operator path. Falls back through
+untuned-pallas and the jnp separable backend so a Mosaic compile flake
+(remote_compile HTTP 500, seen occasionally on the tunneled dev chip)
+can never zero out the benchmark artifact.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Headline = BP5 vmult throughput (GDoF/s/chip) at p=5, the reference's hot
@@ -14,6 +16,7 @@ against the 1 GDoF/s/chip north-star target in BASELINE.json.
 import json
 import sys
 import time
+import traceback
 
 import jax
 import jax.numpy as jnp
@@ -30,30 +33,26 @@ DTYPE = "float32"
 BASELINE_GDOFS = 1.0  # BASELINE.json north-star: >= 1 GDoF/s/chip
 
 
-def main():
-    mesh = BrickMesh.bp5_cycle(CYCLE)
-    space = FESpace.create(mesh, DEGREE, rule="gauss_lobatto", dtype=jnp.dtype(DTYPE))
-    # tile config from the measured sweep (RESULTS.md): BY=96 cuts the
-    # y-halo DMA re-read to 1.17x; needs the raised Mosaic VMEM limit
-    op = PoissonOperator(
-        space,
-        backend="pallas",
-        pallas_opts=dict(block_y=96, vmem_limit_bytes=100 << 20),
-    )
+def measure(space, backend, pallas_opts=None):
+    """Best-of-N_REPS chained-apply throughput (DoF/s) for one backend."""
     n = space.n_dofs
-
     rng = np.random.default_rng(0)
     u0 = jnp.asarray(rng.standard_normal(n), dtype=space.dtype)
-    u = op.layout.pad_flat(u0 / jnp.linalg.norm(u0))
+    u0 = u0 / jnp.linalg.norm(u0)
+    if backend == "pallas":
+        op = PoissonOperator(space, backend="pallas", pallas_opts=pallas_opts)
+        u = op.layout.pad_flat(u0)
+        vm = op.vmult_padded
+    else:
+        op = PoissonOperator(space, backend=backend)
+        u, vm = u0, op.vmult
 
     # keep the chained applies bounded by folding the 1/lambda_est
     # normalization INTO the operator tables (fold_scale) — each chain
     # step is then one pure vmult, no extra elementwise pass
-    vmult = jax.jit(op.vmult_padded)
-    v = jax.block_until_ready(vmult(u))
-    lam = float(jnp.linalg.norm(v))
-    op.fold_scale(1.0 / max(lam, 1.0))
-    vmult = jax.jit(op.vmult_padded)
+    v = jax.block_until_ready(jax.jit(vm)(u))
+    op.fold_scale(1.0 / max(float(jnp.linalg.norm(v)), 1.0))
+    vmult = jax.jit(vm)
 
     @jax.jit
     def chain(u):
@@ -64,14 +63,45 @@ def main():
     for _ in range(N_REPS):
         t0 = time.perf_counter()
         jax.block_until_ready(chain(u))
-        dt = time.perf_counter() - t0
-        best = max(best, n * N_APPLIES / dt)
+        best = max(best, n * N_APPLIES / (time.perf_counter() - t0))
+    return best
+
+
+def main():
+    mesh = BrickMesh.bp5_cycle(CYCLE)
+    space = FESpace.create(mesh, DEGREE, rule="gauss_lobatto", dtype=jnp.dtype(DTYPE))
+
+    # fastest-first candidate list; tile config from the measured sweep
+    # (RESULTS.md): BY=96 cuts the y-halo DMA re-read to 1.17x and needs
+    # the raised Mosaic VMEM limit
+    candidates = [
+        ("pallas", dict(block_y=96, vmem_limit_bytes=100 << 20)),
+        ("pallas", None),
+        ("separable", None),
+    ]
+    best, used = 0.0, "none"
+    for backend, opts in candidates:
+        try:
+            rate = measure(space, backend, opts)
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
+            continue
+        if rate > best:
+            best, used = rate, backend
+        break  # first candidate that works is the fastest path
+    else:
+        raise SystemExit("all benchmark backends failed")
+    if best == 0.0:
+        raise SystemExit("all benchmark backends failed")
 
     gdofs = best / 1e9
     print(
         json.dumps(
             {
-                "metric": f"BP5 vmult throughput (p={DEGREE}, {n} DoFs, {DTYPE})",
+                "metric": (
+                    f"BP5 vmult throughput (p={DEGREE}, {space.n_dofs} DoFs, "
+                    f"{DTYPE}, {used})"
+                ),
                 "value": round(gdofs, 4),
                 "unit": "GDoF/s/chip",
                 "vs_baseline": round(gdofs / BASELINE_GDOFS, 4),
