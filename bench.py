@@ -79,19 +79,14 @@ def main():
         ("pallas", None),
         ("separable", None),
     ]
-    best, used = 0.0, "none"
+    # first candidate that works wins (the list is fastest-first)
     for backend, opts in candidates:
         try:
-            rate = measure(space, backend, opts)
+            best, used = measure(space, backend, opts), backend
+            break
         except Exception:
             traceback.print_exc(file=sys.stderr)
-            continue
-        if rate > best:
-            best, used = rate, backend
-        break  # first candidate that works is the fastest path
     else:
-        raise SystemExit("all benchmark backends failed")
-    if best == 0.0:
         raise SystemExit("all benchmark backends failed")
 
     gdofs = best / 1e9

@@ -502,7 +502,13 @@ def evaluate_at_points(
     for i, x in enumerate(np.asarray(pts, dtype=np.float64)):
         t = (x[None, :] - lo) / sz
         inside = np.all((t > -_TOL) & (t < 1 + _TOL), axis=1)
-        e = int(np.flatnonzero(inside)[0])
+        hits = np.flatnonzero(inside)
+        if hits.size == 0:
+            raise ValueError(
+                f"evaluate_at_points: point {x.tolist()} lies outside "
+                "every active cell (outside the domain?)"
+            )
+        e = int(hits[0])
         w = np.ones((p1, p1, p1))
         for d in range(3):
             S, _ = lagrange_eval(gll, np.array([np.clip(t[e, d], 0.0, 1.0)]))

@@ -159,33 +159,6 @@ class StencilLayout:
         u3 = up.reshape(self.padded_shape)
         return u3[self.p : self.p + nz, YOFF : YOFF + ny, :nx].reshape(-1)
 
-    def constrained_mask_expr(self):
-        """Constrained mask in padded coords as a *traced expression* (from
-        iota comparisons — a materialized bool constant would bloat the jit
-        program by n bytes and blow up compile times). Dead (padding)
-        entries count as constrained: output tiles never cover them, so the
-        final ``where(mask, src, dst)`` restores their zero src values —
-        zero padding stays an invariant with no extra traffic.
-
-        Constrained = NOT strictly-interior: on a full-Dirichlet brick the
-        boundary plus all padding is exactly the complement of the open box.
-        Returns broadcastable bool [zt, yt, nxp] factors combined lazily."""
-        nz, ny, nx = self.real_shape
-        zt, yt, nxp = self.padded_shape
-        p = self.p
-        zi = jax.lax.broadcasted_iota(jnp.int32, (zt, 1, 1), 0)
-        yi = jax.lax.broadcasted_iota(jnp.int32, (1, yt, 1), 1)
-        xi = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nxp), 2)
-        interior = (
-            (zi >= p + 1)
-            & (zi <= p + nz - 2)
-            & (yi >= YOFF + 1)
-            & (yi <= YOFF + ny - 2)
-            & (xi >= 1)
-            & (xi <= nx - 2)
-        )
-        return jnp.logical_not(interior)
-
     def dirichlet_mask_padded(self, mesh) -> jnp.ndarray:
         """Materialized constrained mask (tests / host-side use only)."""
         nz, ny, nx = self.real_shape

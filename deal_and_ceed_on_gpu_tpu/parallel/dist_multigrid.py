@@ -58,7 +58,7 @@ from ..solvers.multigrid import (
     prolongation_1d,
 )
 from .dist_operator import DistOperator, halo_combine
-from .dist_solve import _mesh_for, make_device_mesh
+from .dist_solve import _mesh_for
 from .partition import BlockPartition
 
 __all__ = ["DistMultigrid", "solve_cg_mg_dist"]
@@ -144,13 +144,12 @@ class DistMultigrid:
             gop = op_cls(gspace, backend=gbackend, **op_kwargs)
             gops.append((gspace, gop))
         for (gspace, gop), pl in zip(gops[:-1], parts[:-1]):
-            dinv = np.asarray(gop.jacobi_preconditioner()).reshape(gspace.grid_shape)
-            blocks = pl.to_blocks(dinv)
+            jac = gop.jacobi_preconditioner()  # one exact-diagonal build
+            blocks = pl.to_blocks(np.asarray(jac).reshape(gspace.grid_shape))
             blocks[blocks == 0.0] = 1.0  # identity on dead padding
             self._dinv_blocks.append(jnp.asarray(blocks, dtype=dtype))
             self.bounds.append(
-                _chebyshev_bounds(gop.vmult, gop.jacobi_preconditioner(), gspace,
-                                  smoothing_range)
+                _chebyshev_bounds(gop.vmult, jac, gspace, smoothing_range)
             )
 
         # dense coarse inverse (operator-generic, f64 factorization)
@@ -328,7 +327,7 @@ def solve_cg_mg_dist(
     (``BlockPartition.to_blocks`` layout). Returns ``(x_flat, info)``."""
     part = dist_mg.parts[0]
     dist_op = dist_mg.dist_ops[0]
-    mesh = mesh or make_device_mesh(part.pz, part.py, part.axis_z, part.axis_y)
+    mesh = _mesh_for(dist_op, mesh)
     az, ay = part.axis_z, part.axis_y
     key = (control, mesh)
     run = dist_mg._solver_cache.get(key)

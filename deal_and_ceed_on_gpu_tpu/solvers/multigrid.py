@@ -180,14 +180,25 @@ class Multigrid:
                 f"coarse_max_dofs={coarse_max_dofs} would instead use the "
                 "exact dense solve as a single-level preconditioner."
             )
+        if spaces[-1].n_dofs > max(coarse_max_dofs, 8000):
+            # e.g. (10,10,10) at p=5 coarsens once to (5,5,5) = 17,576
+            # DoFs and then stops on odd counts — refuse rather than
+            # silently building a multi-GB dense inverse
+            raise ValueError(
+                f"coarsest level {spaces[-1].mesh.n_elements} still has "
+                f"{spaces[-1].n_dofs} DoFs (> {max(coarse_max_dofs, 8000)}) "
+                "— element counts stop halving too early for a dense "
+                "coarse solve; choose a mesh with more powers of two"
+            )
         self.spaces = spaces
         self.ops = [make_op(s) for s in spaces]
 
-        # per-level Jacobi diagonals + Chebyshev bounds
-        self.dinv = [op.jacobi_preconditioner() for op in self.ops]
+        # per-level Jacobi diagonals + Chebyshev bounds (coarsest level
+        # uses the dense inverse — no smoother there)
+        self.dinv = [op.jacobi_preconditioner() for op in self.ops[:-1]]
         self.bounds = [
             _chebyshev_bounds(op.vmult, dinv, s, smoothing_range)
-            for op, dinv, s in zip(self.ops[:-1], self.dinv[:-1], spaces[:-1])
+            for op, dinv, s in zip(self.ops[:-1], self.dinv, spaces[:-1])
         ]
 
         # per-level-pair 1D prolongation tables (coarse -> fine), in the
