@@ -37,7 +37,48 @@ class HelmholtzOperator(MatrixFreeOperator):
         space: FESpace,
         backend: str = "structured",
         coefficient_fn: Callable[[np.ndarray], np.ndarray] = default_coefficient,
+        pallas_opts: dict | None = None,
     ):
+        if backend == "pallas":
+            # fused stencil kernel + the collocated value term as one
+            # extra FMA against a streamed a(x) node-table tile (GLL
+            # collocation: quadrature points ARE the nodes, so the
+            # assembled value diagonal is d3(i)*a(x_i) = S diag(a) S)
+            if not space.basis.collocation:
+                raise ValueError(
+                    "pallas Helmholtz requires GLL collocation (the value "
+                    "term is pointwise only when nodes = quadrature points)"
+                )
+            from ..ops.pallas_stencil import build_stencil_operator
+
+            super().__init__(space, "separable")
+            self.backend = "pallas"
+            nodes = space.basis.nodes
+            cx, cy, cz = space.mesh.node_coords_1d(space.degree, nodes)
+            nz, ny, nx = space.grid_shape
+            X = np.zeros((nz, ny, nx, 3))
+            X[..., 0] = cx[None, None, :]
+            X[..., 1] = cy[None, :, None]
+            X[..., 2] = cz[:, None, None]
+            # the kernel's S^2 is the UNIT-cell weight product (geometry
+            # lives in the band coefficients), so the physical value
+            # diagonal a*det*S^2 needs det = hx*hy*hz folded in here
+            hx, hy, hz = space.mesh.h
+            a_nodes = np.asarray(coefficient_fn(X), dtype=np.float64) * (
+                hx * hy * hz
+            )
+            self._stencil = build_stencil_operator(
+                space.mesh,
+                space.basis,
+                space.dtype,
+                value_coef=a_nodes,
+                **(pallas_opts or {}),
+            )
+            # qpoint-layout coefficient for compute_diagonal
+            self._a_q_raw = np.asarray(
+                coefficient_fn(space.geometry.q_points_phys()), dtype=np.float64
+            )
+            return
         if backend == "separable":
             # GLL collocation only: the varying-coefficient mass term is a
             # GLOBAL DIAGONAL (gather-diag-scatter over coinciding
@@ -94,6 +135,39 @@ class HelmholtzOperator(MatrixFreeOperator):
             self._coef_g = jnp.asarray(
                 self.to_layout(geo.merged_coef_full()), dtype=space.dtype
             )
+
+    # ------------------- pallas (padded-layout) path ------------------- #
+    @property
+    def layout(self):
+        return self._stencil.layout
+
+    def vmult_padded(self, src: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.pallas_stencil import constrained_vmult_padded
+
+        return constrained_vmult_padded(self._stencil, src)
+
+    def vmult(self, src: jnp.ndarray) -> jnp.ndarray:
+        if self.backend == "pallas":
+            L = self._stencil.layout
+            if src.shape[0] == L.n:
+                return self.vmult_padded(src)
+            return L.unpad_flat(self.vmult_padded(L.pad_flat(src)))
+        return super().vmult(src)
+
+    def fold_scale(self, s: float) -> None:
+        if self.backend == "pallas":
+            L = self._stencil.layout
+            L.bz, L.by, L.bx = L.bz * s, L.by * s, L.bx * s
+            self._stencil._a = self._stencil._a * s
+            return
+        if self.backend in ("structured", "gather"):
+            self._coef_val = self._coef_val * s
+            if self._coef_g is None:
+                self._cdiag = tuple(c * s for c in self._cdiag)
+            else:
+                self._coef_g = self._coef_g * s
+            return
+        super().fold_scale(s)
 
     def compute_diagonal(self):
         from .operator_base import tensor_product_diagonal

@@ -78,41 +78,12 @@ class PoissonOperator(MatrixFreeOperator):
     def vmult_padded(self, src: jnp.ndarray) -> jnp.ndarray:
         """dst = A src on layout-*padded* flat vectors (zero padding is an
         invariant of the operator and of all CG updates, so entire solves
-        run in this layout).
+        run in this layout); constraint handling costs only surface
+        traffic — see :func:`..ops.pallas_stencil.constrained_vmult_padded`
+        (measured: ~9% of the apply vs the old full-volume where() passes)."""
+        from ..ops.pallas_stencil import constrained_vmult_padded
 
-        Constraint handling costs only SURFACE traffic: the kernel's
-        scaling tables carry the Dirichlet mask (StencilLayout bakes zeros
-        into the boundary rows of S, so the kernel itself computes
-        ``M A M src``), leaving just (a) zeroing the pad strips output
-        tiles never cover and (b) copying the 6 boundary faces from src
-        (identity rows, ``bp5/step-64.cu:275``) — small strided updates
-        XLA performs in place, instead of full-volume where() passes
-        (measured: ~9% of the apply). Whole-plane copies are safe because
-        src's dead strips are zero by the layout invariant."""
-        L = self._stencil.layout
-        from ..ops.pallas_stencil import YOFF
-
-        p = L.p
-        nz, ny, nx = L.real_shape
-        zt, yt, _ = L.padded_shape
-        zhi = p + L.nzb * L.BZ
-        yhi = YOFF + L.nyb * L.BY
-        s3 = src.reshape(L.padded_shape)
-        dst = self._stencil(src).reshape(L.padded_shape)
-        # (a) pad strips the output tiles never write
-        dst = dst.at[:p].set(0.0)
-        if zhi < zt:
-            dst = dst.at[zhi:].set(0.0)
-        dst = dst.at[:, :YOFF].set(0.0)
-        if yhi < yt:
-            dst = dst.at[:, yhi:].set(0.0)
-        # (b) Dirichlet identity faces
-        dst = dst.at[p].set(s3[p]).at[p + nz - 1].set(s3[p + nz - 1])
-        dst = dst.at[:, YOFF].set(s3[:, YOFF])
-        dst = dst.at[:, YOFF + ny - 1].set(s3[:, YOFF + ny - 1])
-        dst = dst.at[:, :, 0].set(s3[:, :, 0])
-        dst = dst.at[:, :, nx - 1].set(s3[:, :, nx - 1])
-        return dst.reshape(-1)
+        return constrained_vmult_padded(self._stencil, src)
 
     def vmult(self, src: jnp.ndarray) -> jnp.ndarray:
         if self.backend == "pallas":

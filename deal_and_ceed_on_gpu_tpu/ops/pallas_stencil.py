@@ -45,7 +45,41 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["StencilLayout", "build_stencil_operator"]
+__all__ = ["StencilLayout", "build_stencil_operator", "constrained_vmult_padded"]
+
+
+def constrained_vmult_padded(stencil, src: jnp.ndarray) -> jnp.ndarray:
+    """dst = A src on layout-padded flat vectors with SURFACE-only
+    constraint traffic: the kernel's scaling tables carry the Dirichlet
+    mask (StencilLayout bakes zeros into the boundary rows of S, so the
+    kernel itself computes ``M A M src``), leaving just (a) zeroing the
+    pad strips output tiles never cover and (b) copying the 6 boundary
+    faces from src (identity rows, ``bp5/step-64.cu:275``) — small
+    strided updates XLA performs in place. Whole-plane copies are safe
+    because src's dead strips are zero by the layout invariant. Shared by
+    every stencil-backed operator (Poisson, Helmholtz)."""
+    L = stencil.layout
+    p = L.p
+    nz, ny, nx = L.real_shape
+    zt, yt, _ = L.padded_shape
+    zhi = p + L.nzb * L.BZ
+    yhi = YOFF + L.nyb * L.BY
+    s3 = src.reshape(L.padded_shape)
+    dst = stencil(src).reshape(L.padded_shape)
+    # (a) pad strips the output tiles never write
+    dst = dst.at[:p].set(0.0)
+    if zhi < zt:
+        dst = dst.at[zhi:].set(0.0)
+    dst = dst.at[:, :YOFF].set(0.0)
+    if yhi < yt:
+        dst = dst.at[:, yhi:].set(0.0)
+    # (b) Dirichlet identity faces
+    dst = dst.at[p].set(s3[p]).at[p + nz - 1].set(s3[p + nz - 1])
+    dst = dst.at[:, YOFF].set(s3[:, YOFF])
+    dst = dst.at[:, YOFF + ny - 1].set(s3[:, YOFF + ny - 1])
+    dst = dst.at[:, :, 0].set(s3[:, :, 0])
+    dst = dst.at[:, :, nx - 1].set(s3[:, :, nx - 1])
+    return dst.reshape(-1)
 
 YOFF = 8  # y front pad (supports p <= 8)
 
@@ -144,6 +178,19 @@ class StencilLayout:
         self.sz = jnp.asarray(sz[:, None], dt)  # [zt, 1]
         self.syx = jnp.asarray(sy[:, None] * sx[None, :], dt)  # [yt, nxp]
 
+    def pad_node_field(self, f3: np.ndarray) -> jnp.ndarray:
+        """Place a nodal field ``[nz, ny, nx]`` into OUTPUT-TILE-aligned
+        padded coordinates ``[nzb*BZ, nyb*BY, nxp]`` (shifted by
+        (-ZOFF, -YOFF) relative to the vector layout, so grid block
+        (k, j) starts at exactly (k*BZ, j*BY) — a clean BlockSpec operand
+        for per-tile coefficient tables, e.g. the Helmholtz a(x))."""
+        nz, ny, nx = self.real_shape
+        zt = self.nzb * self.BZ
+        yt = self.nyb * self.BY
+        out = np.zeros((zt, yt, self.padded_shape[2]))
+        out[:nz, :ny, :nx] = np.asarray(f3)
+        return jnp.asarray(out, self.dtype)
+
     # -------------------------- vector transfer ----------------------- #
     def pad_flat(self, u: jnp.ndarray) -> jnp.ndarray:
         nz, ny, nx = self.real_shape
@@ -176,21 +223,22 @@ def _kernel(
     bx_ref,
     sz_ref,
     syx_ref,
-    out_hbm,
-    win,
-    ginc,
-    obuf,
-    fill_sem,
-    inc_sem,
-    out_sem,
-    *,
+    *rest,
     p: int,
     BZ: int,
     BY: int,
     SY: int,
     nxp: int,
     nzb: int,
+    has_value: bool = False,
 ):
+    # ``rest``: [a_ref (tile-blocked value-coefficient operand, Helmholtz
+    # only)], out_hbm, then the scratch refs
+    if has_value:
+        a_ref, out_hbm, win, ginc, obuf, fill_sem, inc_sem, out_sem = rest
+    else:
+        a_ref = None
+        out_hbm, win, ginc, obuf, fill_sem, inc_sem, out_sem = rest
     j = pl.program_id(0)  # y block (outer)
     k = pl.program_id(1)  # z block (inner, fastest)
     WZ, WY = BZ + 2 * p, BY + 2 * YOFF
@@ -268,6 +316,11 @@ def _kernel(
         for t in range(2 * p + 1):
             shift = (p - t) % nxp  # pltpu.roll requires non-negative shifts
             acc = acc + pltpu.roll(c_tile, shift, 2) * bx_ref[t]
+        if has_value:
+            # Helmholtz value term: diag(d3*a) u = S diag(a) S u, so in the
+            # rescaled form it is ONE extra multiply of the scaled input at
+            # the output points against the plain a(x) node table
+            acc = acc + c_tile * a_ref[:, ys : ys + SY, :]
         # final S scaling at the output coordinates
         acc = (
             acc
@@ -289,10 +342,12 @@ def _kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("layout", "interpret"))
-def _stencil_call(u, bz, by, bx, sz, syx, *, layout: StencilLayout, interpret):
+def _stencil_call(u, bz, by, bx, sz, syx, a_pad=None, *, layout: StencilLayout,
+                  interpret):
     L = layout
     zt, yt, nxp = L.padded_shape
     WZ, WY = L.BZ + 2 * L.p, L.BY + 2 * YOFF
+    has_value = a_pad is not None
     kernel = functools.partial(
         _kernel,
         p=L.p,
@@ -301,12 +356,23 @@ def _stencil_call(u, bz, by, bx, sz, syx, *, layout: StencilLayout, interpret):
         SY=L.SY,
         nxp=nxp,
         nzb=L.nzb,
+        has_value=has_value,
     )
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] + [
+        pl.BlockSpec(memory_space=pltpu.VMEM)
+    ] * 5
+    operands = [u.reshape(L.padded_shape), bz, by, bx, sz, syx]
+    if has_value:
+        # tile-blocked coefficient operand in output-aligned coordinates
+        # (pad_node_field); Pallas pipelines the per-tile DMA
+        in_specs.append(
+            pl.BlockSpec((L.BZ, L.BY, nxp), lambda j, k: (k, j, 0))
+        )
+        operands.append(a_pad)
     out = pl.pallas_call(
         kernel,
         grid=(L.nyb, L.nzb),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((zt, yt, nxp), u.dtype),
         scratch_shapes=[
@@ -322,20 +388,29 @@ def _stencil_call(u, bz, by, bx, sz, syx, *, layout: StencilLayout, interpret):
             has_side_effects=True,
             vmem_limit_bytes=L.vmem_limit_bytes,
         ),
-    )(u.reshape(L.padded_shape), bz, by, bx, sz, syx)
+    )(*operands)
     return out.reshape(-1)
 
 
 class build_stencil_operator:
-    """Callable: flat padded u -> flat padded A_cell_loop(u)."""
+    """Callable: flat padded u -> flat padded A_cell_loop(u).
+
+    ``value_coef``: optional nodal coefficient field ``[nz, ny, nx]``
+    (host array) adding the collocated value term ``diag(d3 * a) u`` —
+    the GLL Helmholtz kernel (one extra FMA per point + one streamed
+    coefficient tile)."""
 
     def __init__(self, mesh, basis, dtype, block_z=16, block_y=None,
-                 interpret=False, vmem_limit_bytes=None):
+                 interpret=False, vmem_limit_bytes=None, value_coef=None):
         self.layout = StencilLayout(
             mesh, basis, dtype, block_z, block_y,
             vmem_limit_bytes=vmem_limit_bytes,
         )
         self.interpret = interpret
+        self._a = (
+            None if value_coef is None
+            else self.layout.pad_node_field(value_coef)
+        )
 
     def __call__(self, u_padded_flat: jnp.ndarray) -> jnp.ndarray:
         L = self.layout
@@ -346,6 +421,7 @@ class build_stencil_operator:
             L.bx,
             L.sz,
             L.syx,
+            self._a,
             layout=L,
             interpret=self.interpret,
         )

@@ -1,0 +1,55 @@
+"""Helmholtz on the fused Pallas stencil kernel (interpret mode on CPU):
+the collocated value term as one extra in-kernel FMA against the a(x)
+node table must reproduce the structured cell loop exactly."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deal_and_ceed_on_gpu_tpu import BrickMesh, FESpace, SolverControl, solve_cg
+from deal_and_ceed_on_gpu_tpu.models import HelmholtzOperator, assemble_rhs
+
+
+@pytest.mark.parametrize("shape,p", [((2, 3, 4), 2), ((2, 2, 2), 5), ((4, 4, 4), 3)])
+def test_pallas_helmholtz_matches_structured(shape, p):
+    mesh = BrickMesh(shape, upper=(1.0, 0.9, 1.2))
+    space = FESpace.create(mesh, p, rule="gauss_lobatto", dtype=jnp.float64)
+    op_ref = HelmholtzOperator(space, backend="structured")
+    op = HelmholtzOperator(space, backend="pallas")
+    op._stencil.interpret = True
+    u = jnp.asarray(np.random.default_rng(0).standard_normal(space.n_dofs))
+    np.testing.assert_allclose(
+        np.asarray(op.vmult(u)), np.asarray(op_ref.vmult(u)), rtol=1e-13, atol=1e-13
+    )
+
+
+def test_pallas_helmholtz_solve_and_fold_scale():
+    mesh = BrickMesh((3, 3, 3))
+    space = FESpace.create(mesh, 2, rule="gauss_lobatto", dtype=jnp.float64)
+    op_ref = HelmholtzOperator(space, backend="structured")
+    op = HelmholtzOperator(space, backend="pallas")
+    op._stencil.interpret = True
+    b = assemble_rhs(space, 1.0)
+    control = SolverControl(300, 1e-11 * float(jnp.linalg.norm(b)))
+    x_ref, info_ref = solve_cg(op_ref.vmult, b, control)
+    L = op.layout
+    xp, info = solve_cg(op.vmult_padded, L.pad_flat(b), control)
+    assert abs(int(info["n_iterations"]) - int(info_ref["n_iterations"])) <= 1
+    np.testing.assert_allclose(
+        np.asarray(L.unpad_flat(xp)), np.asarray(x_ref), rtol=1e-9, atol=1e-12
+    )
+    # fold_scale semantics on the value+gradient kernel
+    u = jnp.asarray(np.random.default_rng(1).standard_normal(space.n_dofs))
+    before = np.asarray(op.vmult(u))
+    op.fold_scale(0.5)
+    after = np.asarray(op.vmult(u))
+    mask = np.asarray(mesh.boundary_dof_mask(2))
+    np.testing.assert_allclose(after[mask], before[mask], rtol=0, atol=0)
+    np.testing.assert_allclose(after[~mask], 0.5 * before[~mask], rtol=1e-13)
+
+
+def test_pallas_helmholtz_rejects_gauss_rule():
+    mesh = BrickMesh((2, 2, 2))
+    space = FESpace.create(mesh, 2, rule="gauss", dtype=jnp.float64)
+    with pytest.raises(ValueError, match="collocation"):
+        HelmholtzOperator(space, backend="pallas")
