@@ -281,3 +281,10 @@ class Multigrid:
 
     def __call__(self, r: jnp.ndarray) -> jnp.ndarray:
         return self.vcycle(r)
+
+    def vcycle_vector(self, r: jnp.ndarray) -> jnp.ndarray:
+        """Component-vmapped V-cycle for vector-valued (BP2/BP4/BP6)
+        systems on ``[n_components, n]`` arrays: the vector operator is
+        block-diagonal with identical scalar blocks, so the exact vector
+        preconditioner is the scalar V-cycle per component."""
+        return jax.vmap(self.vcycle)(r)
