@@ -49,6 +49,30 @@ class BP5Config:
     n_q: int | None = None
     modes: tuple = ("pcg-standard", "pcg-merged", "vmult")
     validate: bool = True
+    # MXU matmul precision for the chained-vmult BENCHMARK only; solve and
+    # validation modes always trace at "highest" (a process-global lowered
+    # precision would silently degrade the CG accuracy and the L2 norm)
+    mxu_precision: str = "highest"
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _vmult_precision(cfg: "BP5Config"):
+    """Apply ``cfg.mxu_precision`` to trace-time matmul precision for the
+    chained-vmult benchmark ONLY, restoring "highest" afterwards so solve
+    and validation traces in the same invocation are unaffected."""
+    from ..ops.sum_factorization import set_matmul_precision
+
+    if cfg.mxu_precision == "highest":
+        yield
+        return
+    set_matmul_precision(cfg.mxu_precision)
+    try:
+        yield
+    finally:
+        set_matmul_precision("highest")
 
 
 def _throughput_lines(label, n_dofs, times, iters, n_ranks=1):
@@ -188,7 +212,8 @@ def run_cycle(cycle: int, cfg: BP5Config):
             )
 
         u0 = b / jnp.linalg.norm(b)
-        jax.block_until_ready(chain(u0))
+        with _vmult_precision(cfg):
+            jax.block_until_ready(chain(u0))  # traced under the bench precision
         times = []
         for _ in range(cfg.n_repetitions):
             t = Timer().start()
@@ -329,7 +354,8 @@ def run_cycle_distributed(
             return jax.lax.fori_loop(0, cfg.n_iterations, body, u)
 
         u0 = b_stacked / jnp.linalg.norm(b_stacked)
-        jax.block_until_ready(chain(u0))
+        with _vmult_precision(cfg):
+            jax.block_until_ready(chain(u0))  # traced under the bench precision
         times = []
         for _ in range(cfg.n_repetitions):
             t = Timer().start()
@@ -374,10 +400,6 @@ def main():
         "high=bf16x3 ~2.6e-6 rel.err, default=bf16 ~8e-4 — benchmark-only)",
     )
     args = ap.parse_args()
-    if args.mxu_precision != "highest":
-        from ..ops.sum_factorization import set_matmul_precision
-
-        set_matmul_precision(args.mxu_precision)
     cfg = BP5Config(
         degree=args.degree,
         n_iterations=args.iterations,
@@ -385,6 +407,7 @@ def main():
         dtype=args.dtype,
         backend=args.backend,
         modes=tuple(args.modes.split(",")),
+        mxu_precision=args.mxu_precision,
     )
     if "x" in args.shards:
         pz, py = (int(s) for s in args.shards.split("x"))

@@ -79,6 +79,31 @@ class HelmholtzOperator(MatrixFreeOperator):
                 coefficient_fn(space.geometry.q_points_phys()), dtype=np.float64
             )
             return
+        if backend == "pallas_general":
+            # fused general-quadrature kernel at the reference's native
+            # step-64 configuration (Gauss rule, value+gradient), any
+            # geometry: gradient planes as for Poisson plus the streamed
+            # a(x)*JxW value table
+            from ..ops.pallas_general import build_general_operator
+
+            super().__init__(space, backend)
+            geo = space.geometry
+            xq = geo.q_points_phys()
+            a_q = np.asarray(coefficient_fn(xq), dtype=np.float64)
+            self._a_q_raw = a_q
+            if geo.uniform:
+                grad = ("const", geo.const_merged_diag)
+            elif not geo.mapped:
+                grad = ("diag3", geo.merged_coef_full()[:, :, (0, 3, 5)])
+            else:
+                grad = ("full6", geo.merged_coef_full())
+            self._general = build_general_operator(
+                space,
+                grad=grad,
+                val=("table", a_q * geo.jxw_full()),
+                **(pallas_opts or {}),
+            )
+            return
         if backend == "separable":
             # GLL collocation only: the varying-coefficient mass term is a
             # GLOBAL DIAGONAL (gather-diag-scatter over coinciding
@@ -154,7 +179,10 @@ class HelmholtzOperator(MatrixFreeOperator):
             return L.unpad_flat(self.vmult_padded(L.pad_flat(src)))
         return super().vmult(src)
 
-    def fold_scale(self, s: float) -> None:
+    def _apply_fold_scale(self, s: float) -> None:
+        if self.backend == "pallas_general":
+            self._general.fold_scale(s)
+            return
         if self.backend == "pallas":
             L = self._stencil.layout
             L.bz, L.by, L.bx = L.bz * s, L.by * s, L.bx * s
@@ -167,9 +195,9 @@ class HelmholtzOperator(MatrixFreeOperator):
             else:
                 self._coef_g = self._coef_g * s
             return
-        super().fold_scale(s)
+        super()._apply_fold_scale(s)
 
-    def compute_diagonal(self):
+    def _compute_diagonal(self):
         from .operator_base import tensor_product_diagonal
 
         return tensor_product_diagonal(

@@ -20,7 +20,8 @@ class MassOperator(MatrixFreeOperator):
     needs_values = True
     needs_gradients = False
 
-    def __init__(self, space: FESpace, backend: str = "structured"):
+    def __init__(self, space: FESpace, backend: str = "structured",
+                 pallas_opts: dict | None = None):
         super().__init__(space, backend)
         geo = space.geometry
         if backend == "separable":
@@ -28,17 +29,31 @@ class MassOperator(MatrixFreeOperator):
 
             self._sep_terms = mass_terms(space.mesh, space.basis, space.dtype)
             return
+        if backend == "pallas_general":
+            from ..ops.pallas_general import build_general_operator
+
+            if geo.uniform:
+                val = ("const", geo.det_j)
+            else:
+                val = ("table", geo.jxw_full())
+            self._general = build_general_operator(
+                space, val=val, **(pallas_opts or {})
+            )
+            return
         self._jxw = jnp.asarray(self.jxw_layout(), dtype=space.dtype)
 
-    def fold_scale(self, s: float) -> None:
+    def _apply_fold_scale(self, s: float) -> None:
+        if self.backend == "pallas_general":
+            self._general.fold_scale(s)
+            return
         if self.backend == "separable":
-            return super().fold_scale(s)
+            return super()._apply_fold_scale(s)
         self._jxw = self._jxw * s
 
     def quad_point_op(self, vals, grads):
         return vals * self._jxw, None
 
-    def compute_diagonal(self):
+    def _compute_diagonal(self):
         from .operator_base import tensor_product_diagonal
 
         return tensor_product_diagonal(self.space, value_const=1.0)

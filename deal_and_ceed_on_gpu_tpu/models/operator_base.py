@@ -34,7 +34,14 @@ from ..ops import sum_factorization as sf
 
 __all__ = ["MatrixFreeOperator", "assemble_rhs", "l2_norm_function"]
 
-_LAYOUT_AXES = {"structured": (1, 3, 5), "gather": (1, 2, 3), "separable": None}
+_LAYOUT_AXES = {
+    "structured": (1, 3, 5),
+    "gather": (1, 2, 3),
+    "separable": None,
+    # fused general-quadrature Pallas kernel (any rule, any geometry):
+    # gather -> dense-basis MXU kernel -> scatter (ops/pallas_general.py)
+    "pallas_general": (1, 2, 3),
+}
 
 
 class MatrixFreeOperator:
@@ -53,6 +60,10 @@ class MatrixFreeOperator:
         # separable backend: subclasses that support it fill _sep_terms
         self._sep_terms = None
         self.sep_mode = "matmul"
+        # accumulated fold_scale factor; compute_diagonal applies it so a
+        # Jacobi/MG preconditioner built AFTER fold_scale stays consistent
+        # with the scaled operator
+        self._fold_factor = 1.0
         # materialize cached device constants eagerly: a first access inside
         # a jit trace would cache a tracer (which then escapes)
         _ = space.S, space.D, space.dirichlet_mask
@@ -136,6 +147,8 @@ class MatrixFreeOperator:
                 )
             u = u_flat.reshape(s.grid_shape)
             return apply_separable(u, self._sep_terms, self.sep_mode).reshape(-1)
+        if self.backend == "pallas_general":
+            return self._general(u_flat)
         ul = self.gather(u_flat)
         vals, grads = sf.evaluate(
             ul,
@@ -171,6 +184,11 @@ class MatrixFreeOperator:
         apply — the elementwise rescaling pass would otherwise add a full
         read+write of the vector (~10% at 12.5M DoFs) that the reference's
         vmult benchmark (``bp5/step-64.cu:519-548``) does not pay."""
+        self._apply_fold_scale(s)
+        self._fold_factor *= s
+
+    def _apply_fold_scale(self, s: float) -> None:
+        """Subclass hook: rescale the coefficient tables by ``s``."""
         if self._sep_terms is not None:
             for t in self._sep_terms:
                 t["coef"] = t["coef"] * s
@@ -187,8 +205,20 @@ class MatrixFreeOperator:
 
     def compute_diagonal(self) -> jnp.ndarray:
         """Exact diagonal of the constrained operator (1.0 on Dirichlet
-        rows). Subclasses call :func:`tensor_product_diagonal`; an
-        improvement over the reference's identity placeholder."""
+        rows), consistent with any accumulated :meth:`fold_scale` factor.
+        Subclasses implement :meth:`_compute_diagonal` (usually via
+        :func:`tensor_product_diagonal`); an improvement over the
+        reference's identity placeholder."""
+        d = self._compute_diagonal()
+        if self._fold_factor != 1.0:
+            # fold_scale rescales unconstrained rows only (Dirichlet rows
+            # stay identity)
+            d = jnp.where(
+                self.space.dirichlet_mask, d, self._fold_factor * d
+            )
+        return d
+
+    def _compute_diagonal(self) -> jnp.ndarray:
         raise NotImplementedError
 
     def jacobi_preconditioner(self) -> jnp.ndarray:

@@ -48,6 +48,28 @@ class PoissonOperator(MatrixFreeOperator):
                 space.mesh, space.basis, space.dtype, **(pallas_opts or {})
             )
             return
+        if backend == "pallas_general":
+            # fused general-quadrature kernel: any rule (Gauss p+1/p+2,
+            # GLL), any geometry incl. mapped — the fast path for the
+            # reference's general configurations (BP1/BP3, step-64,
+            # MappingQGeneric meshes)
+            from ..ops.pallas_general import build_general_operator
+
+            super().__init__(space, backend)
+            geo = space.geometry
+            if geo.uniform:
+                self.coefficient = "merged_const"
+                grad = ("const", geo.const_merged_diag)
+            elif not geo.mapped:
+                self.coefficient = "merged_full"
+                grad = ("diag3", geo.merged_coef_full()[:, :, (0, 3, 5)])
+            else:
+                self.coefficient = "merged_full"
+                grad = ("full6", geo.merged_coef_full())
+            self._general = build_general_operator(
+                space, grad=grad, **(pallas_opts or {})
+            )
+            return
         super().__init__(space, backend)
         geo = space.geometry
         if coefficient == "merged_const" and not geo.uniform:
@@ -93,7 +115,10 @@ class PoissonOperator(MatrixFreeOperator):
             return L.unpad_flat(self.vmult_padded(L.pad_flat(src)))
         return super().vmult(src)
 
-    def fold_scale(self, s: float) -> None:
+    def _apply_fold_scale(self, s: float) -> None:
+        if self.backend == "pallas_general":
+            self._general.fold_scale(s)
+            return
         if self.backend == "pallas":
             # out = S (Bz + By + Bx) S u: scaling every band table by s
             # scales the whole apply by s (identity faces unaffected)
@@ -106,9 +131,9 @@ class PoissonOperator(MatrixFreeOperator):
             else:
                 self._coef = self._coef * s
             return
-        super().fold_scale(s)
+        super()._apply_fold_scale(s)
 
-    def compute_diagonal(self):
+    def _compute_diagonal(self):
         from .operator_base import tensor_product_diagonal
 
         return tensor_product_diagonal(self.space, gradient=True)

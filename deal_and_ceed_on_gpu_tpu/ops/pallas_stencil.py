@@ -45,7 +45,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["StencilLayout", "build_stencil_operator", "constrained_vmult_padded"]
+__all__ = [
+    "StencilLayout",
+    "build_stencil_operator",
+    "constrained_vmult_padded",
+    "stencil_plane_padded",
+]
 
 
 def constrained_vmult_padded(stencil, src: jnp.ndarray) -> jnp.ndarray:
@@ -89,10 +94,23 @@ def _round_up(x, m):
 
 
 class StencilLayout:
-    """Padded vector layout + scaled band tables for one (mesh, basis)."""
+    """Padded vector layout + scaled band tables for one (mesh, basis).
+
+    Distributed (per-shard) construction: ``phys_elems=(mx_p, my_p, mz_p)``
+    restricts table assembly to the first ``m_p`` *physical* elements per
+    axis (the rest of the block is dead padding past the global extent,
+    reference-style arbitrary-rank-count partitioning), and
+    ``faces=(z_lo, z_hi, y_lo, y_hi)`` says which local block faces are
+    GLOBAL Dirichlet boundaries (x walls always are — the x axis is never
+    partitioned). On non-boundary (shared) faces the scaling vectors keep
+    their locally-assembled *partial* weights: the kernel then emits
+    partial sums on shared planes which neighboring shards combine with
+    one plane exchange per axis — shard-local tables factorize so that
+    partials sum exactly to the global operator (see
+    ``parallel/dist_pallas.py``)."""
 
     def __init__(self, mesh, basis, dtype, block_z=16, block_y=None,
-                 vmem_limit_bytes=None):
+                 vmem_limit_bytes=None, phys_elems=None, faces=None):
         from .separable import _bands_from_dense, band_matrix_1d, diag_vector_1d
 
         assert basis.collocation, "stencil kernel requires GLL collocation"
@@ -141,32 +159,52 @@ class StencilLayout:
         hx, hy, hz = mesh.h
         det = hx * hy * hz
         coef = {"x": det / hx**2, "y": det / hy**2, "z": det / hz**2}
+        if phys_elems is None:
+            phys_elems = (mx, my, mz)
+        if faces is None:
+            faces = (True, True, True, True)
+        z_lo, z_hi, y_lo, y_hi = faces
+        mx_p, my_p, mz_p = phys_elems
+        assert mx_p == mx, "x axis is never partitioned/padded"
 
-        def axis(m, n_real, off, n_to, c):
-            A1 = band_matrix_1d(m, p, K_e)
-            d = diag_vector_1d(m, p, w)
-            inv_s = 1.0 / np.sqrt(d)  # d > 0 on all real rows
+        def axis(m, m_phys, n_real, off, n_to, c, face_lo, face_hi):
+            # assemble over the PHYSICAL elements only: dead elements past
+            # the global extent contribute exactly nothing
+            n1 = m * p + 1
+            A1 = np.zeros((n1, n1))
+            d = np.zeros(n1)
+            if m_phys > 0:
+                n_phys = m_phys * p + 1
+                A1[:n_phys, :n_phys] = band_matrix_1d(m_phys, p, K_e)
+                d[:n_phys] = diag_vector_1d(m_phys, p, w)
+            inv_s = np.where(d > 0, 1.0 / np.sqrt(np.where(d > 0, d, 1.0)), 0.0)
             B = c * (inv_s[:, None] * A1 * inv_s[None, :])
             bands = np.zeros((2 * p + 1, n_to))
             bands[:, off : off + n_real] = _bands_from_dense(B, p)
             s = np.zeros(n_to)
             s[off : off + n_real] = np.sqrt(d)
+            # Dirichlet masking baked into the scaling tables: zeroing the
+            # boundary rows of the per-axis sqrt-weight vectors makes the
+            # pointwise product S vanish exactly on the constrained set (a
+            # point is constrained iff ANY axis factor is zero), so the
+            # kernel computes M A M — the constrained operator — with ZERO
+            # extra traffic. Rows on shared (non-boundary) faces keep their
+            # partial weights; rows at or beyond the global extent are all
+            # constrained (the physical boundary is Dirichlet anyway).
+            if m_phys == 0:
+                s[:] = 0.0
+                return bands, s
+            if face_lo:
+                s[off] = 0.0
+            if m_phys < m:
+                assert face_hi, "interior shards cannot hold dead padding"
+            if face_hi:
+                s[off + m_phys * p :] = 0.0
             return bands, s
 
-        bx_b, sx = axis(mx, nx, 0, nxp, coef["x"])
-        by_b, sy = axis(my, ny, YOFF, yt, coef["y"])
-        bz_b, sz = axis(mz, nz, p, zt, coef["z"])  # padded z coords
-
-        # Dirichlet masking baked into the scaling tables: zeroing the
-        # boundary rows of the per-axis sqrt-weight vectors makes the
-        # pointwise product S vanish exactly on the constrained set (a
-        # point is constrained iff ANY axis factor is zero), so the kernel
-        # computes M A M — the constrained operator — with ZERO extra
-        # traffic. vmult_padded then only has to write the identity rows
-        # (6 faces, surface-sized) instead of full-volume where() passes.
-        sx[0] = sx[nx - 1] = 0.0
-        sy[YOFF] = sy[YOFF + ny - 1] = 0.0
-        sz[p] = sz[p + nz - 1] = 0.0
+        bx_b, sx = axis(mx, mx_p, nx, 0, nxp, coef["x"], True, True)
+        by_b, sy = axis(my, my_p, ny, YOFF, yt, coef["y"], y_lo, y_hi)
+        bz_b, sz = axis(mz, mz_p, nz, p, zt, coef["z"], z_lo, z_hi)
 
         dt = self.dtype
         # Band-table layouts (see _kernel): z indexed by padded row
@@ -214,6 +252,63 @@ class StencilLayout:
             mesh.boundary_dof_mask(self.p)
         ).reshape(self.real_shape)
         return jnp.asarray(m.reshape(-1))
+
+
+def stencil_plane_padded(u3, bz, by, bx, sz, syx, a_pad, L: "StencilLayout",
+                         axis: int, row: int):
+    """One output plane of the stencil apply, in plain jnp: the padded-row
+    ``row`` slice along ``axis`` (0 = z, 1 = y) of exactly what the fused
+    kernel computes, from only the p+1 nearest input planes. This is the
+    distributed boundary-partial fast path for the pallas backend (cf.
+    ``ops.separable.apply_separable_plane``): the shared plane a shard must
+    send depends only on this restricted computation, so the halo
+    ``ppermute`` can be issued before — and overlap with — the full kernel.
+    Tables are explicit arguments so per-shard shard_map tracers work.
+    Returns the plane without the sliced axis (``[yt, nxp]`` or
+    ``[zt, nxp]``)."""
+    p = L.p
+    zt, yt, nxp = L.padded_shape
+    nt = 2 * p + 1
+    if axis == 0:
+        slab = (
+            u3[row - p : row + p + 1]
+            * sz[row - p : row + p + 1, :, None]
+            * syx[None, :, :]
+        )
+        out = jnp.tensordot(bz[row], slab, axes=(0, 0))  # z taps
+        center = slab[p]
+        cpad = jnp.pad(center, ((p, p), (0, 0)))
+        for t in range(nt):
+            out = out + cpad[t : t + yt] * by[t]
+        cpad = jnp.pad(center, ((0, 0), (p, p)))
+        for t in range(nt):
+            out = out + cpad[:, t : t + nxp] * bx[t]
+        if a_pad is not None:
+            a_plane = jnp.zeros((yt, nxp), a_pad.dtype)
+            a_plane = a_plane.at[YOFF : YOFF + a_pad.shape[1]].set(
+                a_pad[row - p]
+            )
+            out = out + center * a_plane
+        return out * sz[row] * syx
+    assert axis == 1
+    slab = (
+        u3[:, row - p : row + p + 1]
+        * sz[:, 0][:, None, None]
+        * syx[row - p : row + p + 1][None, :, :]
+    )
+    out = jnp.tensordot(by[:, row, 0], slab, axes=(0, 1))  # y taps
+    center = slab[:, p]
+    cpad = jnp.pad(center, ((p, p), (0, 0)))
+    for t in range(nt):
+        out = out + cpad[t : t + zt] * bz[:, t][:, None]
+    cpad = jnp.pad(center, ((0, 0), (p, p)))
+    for t in range(nt):
+        out = out + cpad[:, t : t + nxp] * bx[t]
+    if a_pad is not None:
+        a_plane = jnp.zeros((zt, nxp), a_pad.dtype)
+        a_plane = a_plane.at[p : p + a_pad.shape[0]].set(a_pad[:, row - YOFF])
+        out = out + center * a_plane
+    return out * sz[:, 0][:, None] * syx[row][None, :]
 
 
 def _kernel(
@@ -401,10 +496,12 @@ class build_stencil_operator:
     coefficient tile)."""
 
     def __init__(self, mesh, basis, dtype, block_z=16, block_y=None,
-                 interpret=False, vmem_limit_bytes=None, value_coef=None):
+                 interpret=False, vmem_limit_bytes=None, value_coef=None,
+                 phys_elems=None, faces=None):
         self.layout = StencilLayout(
             mesh, basis, dtype, block_z, block_y,
             vmem_limit_bytes=vmem_limit_bytes,
+            phys_elems=phys_elems, faces=faces,
         )
         self.interpret = interpret
         self._a = (

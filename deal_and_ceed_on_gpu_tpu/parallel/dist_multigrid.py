@@ -124,6 +124,18 @@ class DistMultigrid:
                 f"mesh {part.mesh.n_elements} over {part.pz}x{part.py} "
                 "shards cannot build a block-aligned hierarchy"
             )
+        if parts[-1].mesh.n_dofs(part.degree) > max(coarse_max_dofs, 8000):
+            # mirror the single-device Multigrid guard: refuse rather than
+            # silently materializing an n^2 dense coarse inverse that every
+            # shard would all-gather and apply redundantly per V-cycle
+            raise ValueError(
+                f"coarsest level {parts[-1].mesh.n_elements} still has "
+                f"{parts[-1].mesh.n_dofs(part.degree)} DoFs "
+                f"(> {max(coarse_max_dofs, 8000)}) — block-aligned "
+                "coarsening stops too early for a dense coarse solve; "
+                "choose a mesh/shard layout with more halvable element "
+                "counts"
+            )
         self.parts = parts
         self.dist_ops = [
             DistOperator(

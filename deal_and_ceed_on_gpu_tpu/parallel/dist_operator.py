@@ -56,6 +56,15 @@ def halo_combine(dst: jnp.ndarray, part: BlockPartition) -> jnp.ndarray:
         from_next = lax.ppermute(dst[:, :1], part.axis_y, down)
         dst = dst.at[:, :1].add(from_prev)
         dst = dst.at[:, -1:].add(from_next)
+    if part.px > 1:
+        # x last: its planes then carry the z/y pair sums across shared
+        # edges and the 8-corner points resolve automatically
+        up = [(k, k + 1) for k in range(part.px - 1)]
+        down = [(k + 1, k) for k in range(part.px - 1)]
+        from_prev = lax.ppermute(dst[:, :, -1:], part.axis_x, up)
+        from_next = lax.ppermute(dst[:, :, :1], part.axis_x, down)
+        dst = dst.at[:, :, :1].add(from_prev)
+        dst = dst.at[:, :, -1:].add(from_next)
     return dst
 
 
@@ -127,12 +136,14 @@ class DistOperator:
             gop = op_cls(gspace, backend=backend, **op_kwargs)
             mz_pad = part.mz_local * part.pz - part.mesh.n_elements[2]
             my_pad = part.my_local * part.py - part.mesh.n_elements[1]
+            mx_pad = part.mx_local * part.px - part.mesh.n_elements[0]
             tables = []
             for name in self._table_names:
                 t = np.asarray(getattr(gop, name))
                 pad = [(0, 0)] * t.ndim
-                pad[0] = (0, mz_pad)  # structured layout [MZ, q, MY, q, ...]
+                pad[0] = (0, mz_pad)  # structured layout [MZ,q,MY,q,MX,q,...]
                 pad[2] = (0, my_pad)
+                pad[4] = (0, mx_pad)
                 tables.append(jnp.asarray(part.slice_table(np.pad(t, pad))))
             self.shard_tables = tuple(tables)
         else:
@@ -151,7 +162,8 @@ class DistOperator:
         part = self.part
         iz = lax.axis_index(part.axis_z)
         iy = lax.axis_index(part.axis_y)
-        mask = part.local_dirichlet_mask(iz, iy)
+        ix = lax.axis_index(part.axis_x) if part.px > 1 else 0
+        mask = part.local_dirichlet_mask(iz, iy, ix)
         us = jnp.where(mask, jnp.zeros((), u.dtype), u)
         op = self._local_op
         if tables:
@@ -160,7 +172,14 @@ class DistOperator:
                 for name, t in zip(self._table_names, tables)
             }
             op = op.bind_shard_tables(squeezed)
-        if op._sep_terms is not None and (part.pz > 1 or part.py > 1):
+        if (
+            op._sep_terms is not None
+            and (part.pz > 1 or part.py > 1)
+            and part.px == 1
+        ):
+            # overlapped path (plane partials fly during the full apply);
+            # with x partitioned too, the 12-edge/8-corner association is
+            # not implemented — take the plain halo_combine schedule
             dst = self._vmult_overlap(us, op)
         else:
             dst = op.apply_cell_loop(us.reshape(-1)).reshape(u.shape)
@@ -254,7 +273,8 @@ class DistOperator:
         part = self.part
         iz = lax.axis_index(part.axis_z)
         iy = lax.axis_index(part.axis_y)
-        return part.local_dot_weight(iz, iy, dtype)
+        ix = lax.axis_index(part.axis_x) if part.px > 1 else 0
+        return part.local_dot_weight(iz, iy, dtype, ix)
 
     def jacobi_blocks(self, op_cls=None, **op_kwargs):
         """Host-side: the true-Jacobi preconditioner (1/diag) of the global

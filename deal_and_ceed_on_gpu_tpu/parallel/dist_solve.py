@@ -35,21 +35,41 @@ __all__ = [
 ]
 
 
-def make_device_mesh(pz: int, py: int = 1, axis_z: str = "z", axis_y: str = "y") -> Mesh:
-    """A ``pz x py`` 2D device mesh (1D z-slabs when ``py == 1``)."""
-    devs = np.asarray(jax.devices()[: pz * py]).reshape(pz, py)
-    return Mesh(devs, (axis_z, axis_y))
+def make_device_mesh(
+    pz: int,
+    py: int = 1,
+    axis_z: str = "z",
+    axis_y: str = "y",
+    px: int = 1,
+    axis_x: str = "x",
+) -> Mesh:
+    """A ``pz x py`` 2D device mesh (1D z-slabs when ``py == 1``), or a
+    full 3D ``pz x py x px`` mesh when ``px > 1`` (one mesh axis per ICI
+    torus dimension on 3D-torus pods)."""
+    devs = np.asarray(jax.devices()[: pz * py * px])
+    if px > 1:
+        return Mesh(devs.reshape(pz, py, px), (axis_z, axis_y, axis_x))
+    return Mesh(devs.reshape(pz, py), (axis_z, axis_y))
+
+
+def _axes(part) -> tuple:
+    """The partitioned device-mesh axis names (2D or 3D)."""
+    if getattr(part, "px", 1) > 1:
+        return (part.axis_z, part.axis_y, part.axis_x)
+    return (part.axis_z, part.axis_y)
 
 
 def _mesh_for(dist_op: DistOperator, mesh: Optional[Mesh]) -> Mesh:
     part = dist_op.part
-    return mesh or make_device_mesh(part.pz, part.py, part.axis_z, part.axis_y)
+    return mesh or make_device_mesh(
+        part.pz, part.py, part.axis_z, part.axis_y, part.px, part.axis_x
+    )
 
 
 def _table_specs(dist_op: DistOperator):
     part = dist_op.part
     return tuple(
-        P((part.axis_z, part.axis_y), *([None] * (t.ndim - 1)))
+        P(_axes(part), *([None] * (t.ndim - 1)))
         for t in dist_op.shard_tables
     )
 
@@ -58,9 +78,10 @@ def _grid_spec(dist_op: DistOperator) -> P:
     """Operand spec: [nz, ny, nx] blocks, or [C, nz, ny, nx] for
     vector-valued operators (components replicated-free leading axis)."""
     part = dist_op.part
+    ax = part.axis_x if getattr(part, "px", 1) > 1 else None
     if getattr(dist_op, "n_components", 1) > 1:
-        return P(None, part.axis_z, part.axis_y, None)
-    return P(part.axis_z, part.axis_y, None)
+        return P(None, part.axis_z, part.axis_y, ax)
+    return P(part.axis_z, part.axis_y, ax)
 
 
 def make_dist_solver(
@@ -81,7 +102,7 @@ def make_dist_solver(
         return cached
 
     part = dist_op.part
-    az, ay = part.axis_z, part.axis_y
+    axes = _axes(part)
     grid_spec = _grid_spec(dist_op)
 
     def local_solve(b_loc, diag_loc, *tables):
@@ -92,7 +113,7 @@ def make_dist_solver(
             control,
             diag=diag_loc,
             dot_weight=w,
-            psum_axis=(az, ay),
+            psum_axis=axes,
             **kwargs,
         )
         # scalars are already replicated (post-psum recurrences)

@@ -49,8 +49,11 @@ __all__ = ["BlockPartition", "SlabPartition"]
 
 @dataclasses.dataclass(frozen=True)
 class BlockPartition:
-    """(z, y) block decomposition of a :class:`BrickMesh` over a
-    ``pz x py`` device mesh (``py = 1`` gives classic z slabs)."""
+    """(z, y[, x]) block decomposition of a :class:`BrickMesh` over a
+    ``pz x py`` — or, with ``px > 1``, a full 3D ``pz x py x px`` — device
+    mesh (``py = px = 1`` gives classic z slabs). The 3D form maps
+    directly onto a v5p-style 3D ICI torus: one partitioned mesh axis per
+    torus dimension, every halo exchange a nearest-neighbor hop."""
 
     mesh: BrickMesh
     degree: int
@@ -58,15 +61,17 @@ class BlockPartition:
     py: int = 1
     axis_z: str = "z"
     axis_y: str = "y"
+    px: int = 1
+    axis_x: str = "x"
 
     def __post_init__(self):
-        if self.pz < 1 or self.py < 1:
+        if self.pz < 1 or self.py < 1 or self.px < 1:
             raise ValueError("shard counts must be >= 1")
 
     # ------------------------------ sizes ----------------------------- #
     @property
     def n_shards(self) -> int:
-        return self.pz * self.py
+        return self.pz * self.py * self.px
 
     @property
     def mz_local(self) -> int:
@@ -75,6 +80,10 @@ class BlockPartition:
     @property
     def my_local(self) -> int:
         return -(-self.mesh.n_elements[1] // self.py)
+
+    @property
+    def mx_local(self) -> int:
+        return -(-self.mesh.n_elements[0] // self.px)
 
     @property
     def local_mesh(self) -> BrickMesh:
@@ -90,32 +99,31 @@ class BlockPartition:
         if self.mesh.is_uniform:
             hx, hy, hz = self.mesh.h
             return BrickMesh(
-                (mx, self.my_local, self.mz_local),
+                (self.mx_local, self.my_local, self.mz_local),
                 lo,
                 (
-                    self.mesh.upper[0],
+                    lo[0] + hx * self.mx_local,
                     lo[1] + hy * self.my_local,
                     lo[2] + hz * self.mz_local,
                 ),
             )
         # structural placeholder: shard-0's block of the global mesh
-        hx = np.asarray(self.mesh.h_axes()[0])
+        hx = np.asarray(self.mesh.h_axes()[0])[: self.mx_local]
         hy = np.asarray(self.mesh.h_axes()[1])[: self.my_local]
         hz = np.asarray(self.mesh.h_axes()[2])[: self.mz_local]
         # pad placeholder widths if shard 0 is smaller than the block
+        hx = np.pad(hx, (0, self.mx_local - hx.size), constant_values=1.0)
         hy = np.pad(hy, (0, self.my_local - hy.size), constant_values=1.0)
         hz = np.pad(hz, (0, self.mz_local - hz.size), constant_values=1.0)
         local = BrickMesh(
-            (mx, self.my_local, self.mz_local),
+            (self.mx_local, self.my_local, self.mz_local),
             lo,
             (
-                self.mesh.upper[0],
+                lo[0] + float(hx.sum()),
                 lo[1] + float(hy.sum()),
                 lo[2] + float(hz.sum()),
             ),
-            widths=(np.asarray(self.mesh.h_axes()[0]), hy, hz)
-            if self.mesh.widths is not None
-            else None,
+            widths=(hx, hy, hz) if self.mesh.widths is not None else None,
         )
         if self.mesh.is_mapped:
             local = local.deform(self.mesh.mapping, self.mesh.mapping_jacobian)
@@ -123,9 +131,12 @@ class BlockPartition:
 
     @property
     def local_grid_shape(self) -> tuple[int, int, int]:
-        nx, _, _ = self.mesh.n_nodes(self.degree)
         p = self.degree
-        return (self.mz_local * p + 1, self.my_local * p + 1, nx)
+        return (
+            self.mz_local * p + 1,
+            self.my_local * p + 1,
+            self.mx_local * p + 1,
+        )
 
     @property
     def global_grid_shape(self) -> tuple[int, int, int]:
@@ -135,9 +146,9 @@ class BlockPartition:
     @property
     def flat_grid_shape(self) -> tuple[int, int, int]:
         """Shape of the shard_map operand: blocks concatenated (with their
-        ghost/padding planes) along z and y."""
-        nzl, nyl, nx = self.local_grid_shape
-        return (self.pz * nzl, self.py * nyl, nx)
+        ghost/padding planes) along every partitioned axis."""
+        nzl, nyl, nxl = self.local_grid_shape
+        return (self.pz * nzl, self.py * nyl, self.px * nxl)
 
     # ---------------------------------------------------------------- #
     # host-side conversions global grid <-> concatenated ghosted blocks
@@ -155,18 +166,26 @@ class BlockPartition:
             comps = u_global.reshape(u_global.shape[0], *self.global_grid_shape)
             return np.stack([self.to_blocks(c) for c in comps])
         nz, ny, nx = self.global_grid_shape
-        nzl, nyl, _ = self.local_grid_shape
+        nzl, nyl, nxl = self.local_grid_shape
         u = np.asarray(u_global).reshape(nz, ny, nx)
         p = self.degree
-        sz, sy = self.mz_local * p, self.my_local * p
+        sz, sy, sx = self.mz_local * p, self.my_local * p, self.mx_local * p
         out = np.zeros(self.flat_grid_shape, dtype=u.dtype)
         for iz in range(self.pz):
             lz = min(nzl, nz - iz * sz)
             for iy in range(self.py):
                 ly = min(nyl, ny - iy * sy)
-                out[iz * nzl : iz * nzl + lz, iy * nyl : iy * nyl + ly] = u[
-                    iz * sz : iz * sz + lz, iy * sy : iy * sy + ly
-                ]
+                for ix in range(self.px):
+                    lx = min(nxl, nx - ix * sx)
+                    out[
+                        iz * nzl : iz * nzl + lz,
+                        iy * nyl : iy * nyl + ly,
+                        ix * nxl : ix * nxl + lx,
+                    ] = u[
+                        iz * sz : iz * sz + lz,
+                        iy * sy : iy * sy + ly,
+                        ix * sx : ix * sx + lx,
+                    ]
         return out
 
     def from_blocks(self, blocks: np.ndarray) -> np.ndarray:
@@ -176,10 +195,10 @@ class BlockPartition:
         if blocks.ndim == 4 and blocks.shape[1:] == self.flat_grid_shape:
             return np.stack([self.from_blocks(c) for c in blocks])
         nz, ny, nx = self.global_grid_shape
-        nzl, nyl, _ = self.local_grid_shape
+        nzl, nyl, nxl = self.local_grid_shape
         b = np.asarray(blocks).reshape(self.flat_grid_shape)
         p = self.degree
-        sz, sy = self.mz_local * p, self.my_local * p
+        sz, sy, sx = self.mz_local * p, self.my_local * p, self.mx_local * p
         out = np.zeros((nz, ny, nx), dtype=b.dtype)
         # shard iz owns planes [iz*sz, (iz+1)*sz) clipped to [0, nz); the
         # axis-final shard additionally owns the final plane (if any physical
@@ -192,37 +211,51 @@ class BlockPartition:
                 y0 = iy * sy
                 hi_y = ny if iy == self.py - 1 else min(y0 + sy, ny)
                 ly = max(0, hi_y - y0)
-                if lz > 0 and ly > 0:
-                    out[z0 : z0 + lz, y0 : y0 + ly] = b[
-                        iz * nzl : iz * nzl + lz, iy * nyl : iy * nyl + ly
-                    ]
+                for ix in range(self.px):
+                    x0 = ix * sx
+                    hi_x = nx if ix == self.px - 1 else min(x0 + sx, nx)
+                    lx = max(0, hi_x - x0)
+                    if lz > 0 and ly > 0 and lx > 0:
+                        out[z0 : z0 + lz, y0 : y0 + ly, x0 : x0 + lx] = b[
+                            iz * nzl : iz * nzl + lz,
+                            iy * nyl : iy * nyl + ly,
+                            ix * nxl : ix * nxl + lx,
+                        ]
         return out
 
     def slice_table(self, table: np.ndarray) -> np.ndarray:
-        """Slice a structured-layout table on :attr:`padded_mesh`
-        (``[MZ_pad, q, MY_pad, q, MX, q, ...]``, element-major) into the
-        per-shard stack ``[n_shards, mz_loc, q, my_loc, q, MX, q, ...]``
-        in device order (z-major)."""
-        mzl, myl = self.mz_local, self.my_local
+        """Slice a structured-layout table on the padded mesh
+        (``[MZ_pad, q, MY_pad, q, MX_pad, q, ...]``, element-major) into
+        the per-shard stack ``[n_shards, mz_loc, q, my_loc, q, mx_loc, q,
+        ...]`` in device order (z-major, x fastest)."""
+        mzl, myl, mxl = self.mz_local, self.my_local, self.mx_local
         parts = []
         for iz in range(self.pz):
             for iy in range(self.py):
-                parts.append(
-                    table[iz * mzl : (iz + 1) * mzl, :, iy * myl : (iy + 1) * myl]
-                )
+                for ix in range(self.px):
+                    parts.append(
+                        table[
+                            iz * mzl : (iz + 1) * mzl,
+                            :,
+                            iy * myl : (iy + 1) * myl,
+                            :,
+                            ix * mxl : (ix + 1) * mxl,
+                        ]
+                    )
         return np.stack(parts)
 
     # ---------------------------------------------------------------- #
     # per-shard masks/weights (built inside shard_map from axis indices)
     # ---------------------------------------------------------------- #
-    def local_dirichlet_mask(self, iz, iy) -> jnp.ndarray:
-        """bool ``[nz_loc, ny_loc, nx]``: x walls everywhere; y/z planes at
-        or beyond the physical boundary (which subsumes the dead padding).
-        ``iz``/``iy`` may be traced (``lax.axis_index``)."""
-        nzl, nyl, nx = self.local_grid_shape
-        nz, ny, _ = self.global_grid_shape
+    def local_dirichlet_mask(self, iz, iy, ix=0) -> jnp.ndarray:
+        """bool ``[nz_loc, ny_loc, nx_loc]``: planes at or beyond the
+        physical boundary per axis (which subsumes the dead padding).
+        ``iz``/``iy``/``ix`` may be traced (``lax.axis_index``)."""
+        nzl, nyl, nxl = self.local_grid_shape
+        nz, ny, nx = self.global_grid_shape
         p = self.degree
-        bx = (jnp.arange(nx) == 0) | (jnp.arange(nx) == nx - 1)
+        gx = ix * (self.mx_local * p) + jnp.arange(nxl)
+        bx = (gx == 0) | (gx >= nx - 1)
         gy = iy * (self.my_local * p) + jnp.arange(nyl)
         by = (gy == 0) | (gy >= ny - 1)
         gz = iz * (self.mz_local * p) + jnp.arange(nzl)
@@ -231,16 +264,24 @@ class BlockPartition:
             bz[:, None, None] | by[None, :, None] | bx[None, None, :]
         )
 
-    def local_dot_weight(self, iz, iy, dtype) -> jnp.ndarray:
-        """``[nz_loc, ny_loc, 1]`` weights: 0 on ghost-duplicated planes
-        (each shard's last z/y plane except on the axis-final shard).
-        Padding DoFs are exactly zero, so they need no weighting."""
-        nzl, nyl, _ = self.local_grid_shape
+    def local_dot_weight(self, iz, iy, dtype, ix=0) -> jnp.ndarray:
+        """``[nz_loc, ny_loc, nx_loc or 1]`` weights: 0 on ghost-duplicated
+        planes (each shard's last plane per partitioned axis except on the
+        axis-final shard). Padding DoFs are exactly zero, so they need no
+        weighting."""
+        nzl, nyl, nxl = self.local_grid_shape
         wz = jnp.ones((nzl,), dtype=dtype)
         wz = wz.at[-1].set(jnp.where(iz == self.pz - 1, 1.0, 0.0).astype(dtype))
         wy = jnp.ones((nyl,), dtype=dtype)
         wy = wy.at[-1].set(jnp.where(iy == self.py - 1, 1.0, 0.0).astype(dtype))
-        return wz[:, None, None] * wy[None, :, None]
+        w = wz[:, None, None] * wy[None, :, None]
+        if self.px > 1:
+            wx = jnp.ones((nxl,), dtype=dtype)
+            wx = wx.at[-1].set(
+                jnp.where(ix == self.px - 1, 1.0, 0.0).astype(dtype)
+            )
+            w = w * wx[None, None, :]
+        return w
 
     # ----------------------- slab-compat aliases ---------------------- #
     def to_slabs(self, u_global: np.ndarray) -> np.ndarray:

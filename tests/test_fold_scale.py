@@ -30,6 +30,32 @@ def test_poisson_fold_scale(backend):
     np.testing.assert_allclose(after[~mask], 0.25 * before[~mask], rtol=1e-14)
 
 
+@pytest.mark.parametrize("backend", ["structured", "gather"])
+def test_fold_scale_keeps_diagonal_consistent(backend):
+    """compute_diagonal/jacobi_preconditioner after fold_scale must reflect
+    the scaled operator (advisor r2: a Jacobi/MG preconditioner built from
+    a folded operator was silently wrong by the fold factor)."""
+    from deal_and_ceed_on_gpu_tpu.models import HelmholtzOperator
+
+    mesh = BrickMesh((2, 2, 2))
+    space = FESpace.create(mesh, 2, rule="gauss", dtype=jnp.float64)
+    for op_cls in (PoissonOperator, HelmholtzOperator):
+        op = op_cls(space, backend=backend)
+        d_before = np.asarray(op.compute_diagonal())
+        op.fold_scale(0.5)
+        d_after = np.asarray(op.compute_diagonal())
+        mask = np.asarray(space.mesh.boundary_dof_mask(space.degree))
+        np.testing.assert_allclose(d_after[mask], d_before[mask], rtol=0, atol=0)
+        np.testing.assert_allclose(d_after[~mask], 0.5 * d_before[~mask], rtol=1e-14)
+        # the preconditioner matches the scaled operator's true diagonal
+        u = jnp.asarray(np.random.default_rng(2).standard_normal(space.n_dofs))
+        e0 = jnp.zeros(space.n_dofs).at[len(u) // 2].set(1.0)
+        true_diag_entry = float(op.vmult(e0)[len(u) // 2])
+        np.testing.assert_allclose(
+            d_after[len(u) // 2], true_diag_entry, rtol=1e-12
+        )
+
+
 @pytest.mark.parametrize("backend", ["structured", "separable"])
 def test_mass_and_vector_fold_scale(backend):
     mesh = BrickMesh((2, 2, 2))
