@@ -54,6 +54,32 @@ def _key(x):
     return tuple(np.round(np.asarray(x, dtype=np.float64) / _TOL).astype(np.int64))
 
 
+def _unique_rows_inverse(keys: np.ndarray) -> np.ndarray:
+    """Inverse indices of the unique rows of an int64 ``[n, 3]`` array,
+    ordered by first occurrence-free group id (row-sorted order).
+    ``np.unique(axis=0)`` goes through a void-dtype sort that is ~40x
+    slower; this encodes two columns into one int64 and 2-key lexsorts."""
+    if keys.shape[0] == 0:
+        return np.zeros(0, dtype=np.int64)
+    lo = keys.min(axis=0)
+    k = keys - lo
+    ey = int(k[:, 1].max()) + 1
+    ez = int(k[:, 2].max()) + 1
+    if float(ez) * float(ey) < 2**62:
+        enc = k[:, 2] * ey + k[:, 1]
+        order = np.lexsort((k[:, 0], enc))
+    else:  # pathological extents: fall back to a 3-key lexsort
+        order = np.lexsort((k[:, 0], k[:, 1], k[:, 2]))
+    ks = k[order]
+    new = np.empty(ks.shape[0], dtype=bool)
+    new[0] = True
+    np.any(ks[1:] != ks[:-1], axis=1, out=new[1:])
+    group = np.cumsum(new) - 1
+    inv = np.empty(ks.shape[0], dtype=np.int64)
+    inv[order] = group
+    return inv
+
+
 @dataclasses.dataclass(frozen=True)
 class AdaptiveMesh:
     """Active cells of an adaptively refined brick: ``cells[i] = (origin,
@@ -102,63 +128,119 @@ class AdaptiveMesh:
     def refine_active(self, marks) -> "AdaptiveMesh":
         """Refine the marked *active* cells (8 children each), then restore
         the vertex 2:1 balance by refining any active cell whose closure
-        touches a cell two or more levels finer (the p4est balance step)."""
+        touches a cell two or more levels finer (the p4est balance step).
+        Fully vectorized; preserves the original interleaved cell order
+        (children replace their parent in place)."""
         marks = np.asarray(marks)
         if marks.dtype == bool:
-            marks = np.flatnonzero(marks)
-        marked = set(int(m) for m in marks)
-        origins, sizes, levels = [], [], []
-        for e in range(self.n_cells):
-            o, h, lv = self.origins[e], self.sizes[e], int(self.levels[e])
-            if e in marked:
-                for cz in range(2):
-                    for cy in range(2):
-                        for cx in range(2):
-                            origins.append(
-                                o + 0.5 * h * np.array([cx, cy, cz], dtype=float)
-                            )
-                            sizes.append(0.5 * h)
-                            levels.append(lv + 1)
-            else:
-                origins.append(o)
-                sizes.append(h)
-                levels.append(lv)
+            marked = marks.copy()
+        else:
+            marked = np.zeros(self.n_cells, dtype=bool)
+            marked[marks] = True
+        counts = np.where(marked, 8, 1)
+        parent = np.repeat(np.arange(self.n_cells), counts)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        rank = np.arange(counts.sum()) - starts[parent]
+        # child rank order (cz, cy, cx) with cx fastest
+        offs = np.array(
+            [[cx, cy, cz] for cz in range(2) for cy in range(2) for cx in range(2)],
+            dtype=np.float64,
+        )
+        is_m = marked[parent]
+        origins = self.origins[parent] + np.where(
+            is_m[:, None], 0.5 * self.sizes[parent] * offs[rank], 0.0
+        )
+        sizes = self.sizes[parent] * np.where(is_m, 0.5, 1.0)[:, None]
+        levels = self.levels[parent] + is_m
         out = AdaptiveMesh(
-            np.asarray(origins),
-            np.asarray(sizes),
-            np.asarray(levels, dtype=np.int64),
-            self.lower,
-            self.upper,
+            origins, sizes, levels.astype(np.int64), self.lower, self.upper
         )
         return out._balance()
 
-    def _closure_touch(self) -> np.ndarray:
-        """bool [n, n]: closures of cells i and j intersect (within tol)."""
-        lo = self.origins
-        hi = self.origins + self.sizes
-        t = _TOL
-        touch = np.ones((self.n_cells, self.n_cells), dtype=bool)
-        for d in range(3):
-            touch &= lo[:, None, d] <= hi[None, :, d] + t
-            touch &= lo[None, :, d] <= hi[:, None, d] + t
-        return touch
+    # ------------- integer octree lattice (scalable lookups) ----------- #
+    def _base_geometry(self):
+        """(base cell size [3], base element counts [3]): every active cell
+        at level L sits on the integer lattice of spacing base_h / 2^L."""
+        base_h = self.sizes[0] * 2.0 ** int(self.levels[0])
+        lower = np.asarray(self.lower, dtype=np.float64)
+        upper = np.asarray(self.upper, dtype=np.float64)
+        m_base = np.maximum(np.round((upper - lower) / base_h), 1).astype(
+            np.int64
+        )
+        return base_h, m_base
+
+    def _level_tables(self):
+        """Per refinement level: (sorted lattice keys, cell ids in key
+        order, per-axis lattice extents) — O(1) hashed cell lookup by
+        integer coordinates, replacing all-pairs geometry tests."""
+        base_h, m_base = self._base_geometry()
+        lower = np.asarray(self.lower, dtype=np.float64)
+        tables = {}
+        for lv in np.unique(self.levels):
+            sel = np.flatnonzero(self.levels == lv)
+            h = base_h / 2.0 ** int(lv)
+            n_ax = m_base * 2 ** int(lv)
+            ic = np.round((self.origins[sel] - lower) / h).astype(np.int64)
+            key = (ic[:, 2] * n_ax[1] + ic[:, 1]) * n_ax[0] + ic[:, 0]
+            order = np.argsort(key)
+            tables[int(lv)] = (key[order], sel[order], n_ax)
+        return tables
+
+    @staticmethod
+    def _lookup(table, ii: np.ndarray) -> np.ndarray:
+        """Cell ids for integer coords ``ii [n, 3]`` (-1 where absent)."""
+        keys, ids, n_ax = table
+        valid = np.all((ii >= 0) & (ii < n_ax[None, :]), axis=1)
+        k = (ii[:, 2] * n_ax[1] + ii[:, 1]) * n_ax[0] + ii[:, 0]
+        pos = np.clip(np.searchsorted(keys, k), 0, max(keys.size - 1, 0))
+        if keys.size == 0:
+            return np.full(ii.shape[0], -1, dtype=np.int64)
+        hit = valid & (keys[pos] == k)
+        return np.where(hit, ids[pos], -1)
+
+    def _violators(self) -> np.ndarray:
+        """Active cells whose closure touches a cell >= 2 levels finer:
+        for every fine cell, the <= 8 coarse lattice cells its (tolerance-
+        inflated) bounding box overlaps are looked up per coarser level."""
+        tables = self._level_tables()
+        base_h, _ = self._base_geometry()
+        lower = np.asarray(self.lower, dtype=np.float64)
+        viol = np.zeros(self.n_cells, dtype=bool)
+        lvs = sorted(tables)
+        for lf in lvs:
+            sel = tables[lf][1]
+            lo = self.origins[sel] - lower
+            hi = lo + self.sizes[sel]
+            for lc in lvs:
+                if lc > lf - 2:
+                    continue
+                hc = base_h / 2.0**lc
+                a = np.floor((lo - _TOL) / hc).astype(np.int64)
+                b = np.floor((hi + _TOL) / hc).astype(np.int64)
+                for c in range(8):
+                    ii = np.stack(
+                        [
+                            np.minimum(a[:, d] + ((c >> d) & 1), b[:, d])
+                            for d in range(3)
+                        ],
+                        axis=1,
+                    )
+                    found = self._lookup(tables[lc], ii)
+                    viol[found[found >= 0]] = True
+        return viol
 
     def _balance(self) -> "AdaptiveMesh":
         """Refine until no two closure-touching active cells differ by
         more than one level."""
         mesh = self
         while True:
-            touch = mesh._closure_touch()
-            lv = mesh.levels
-            viol = (touch & (lv[None, :] - lv[:, None] >= 2)).any(axis=1)
+            viol = mesh._violators()
             if not viol.any():
                 return mesh
-            mesh = mesh.refine_active(np.flatnonzero(viol))
+            mesh = mesh.refine_active(viol)
 
     def is_balanced(self) -> bool:
-        touch = self._closure_touch()
-        lv = self.levels
-        return not (touch & (np.abs(lv[None, :] - lv[:, None]) >= 2)).any()
+        return not self._violators().any()
 
     @property
     def n_cells(self) -> int:
@@ -180,44 +262,31 @@ class AdaptiveSpace:
         self.basis = Basis1D.make(degree, rule="gauss_lobatto")
         p1 = degree + 1
         gll = self.basis.nodes
-
-        # ---- global DoF ids by unique nodal coordinates ----
-        coords: list[np.ndarray] = []
-        ids: dict[tuple, int] = {}
         n_cells = mesh.n_cells
-        dof_map = np.empty((n_cells, p1**3), dtype=np.int64)
-        cell_nodes: list[set] = []
-        for e in range(n_cells):
-            o, h = mesh.origins[e], mesh.sizes[e]
-            xs = o[0] + h[0] * gll
-            ys = o[1] + h[1] * gll
-            zs = o[2] + h[2] * gll
-            loc = 0
-            nodes_here = set()
-            for k in range(p1):
-                for j in range(p1):
-                    for i in range(p1):
-                        x = (xs[i], ys[j], zs[k])
-                        kk = _key(x)
-                        g = ids.get(kk)
-                        if g is None:
-                            g = len(coords)
-                            ids[kk] = g
-                            coords.append(np.asarray(x))
-                        dof_map[e, loc] = g
-                        nodes_here.add(g)
-                        loc += 1
-            cell_nodes.append(nodes_here)
+        P3 = p1**3
 
+        # ---- global DoF ids by unique nodal coordinates (vectorized) ----
+        o, h = mesh.origins, mesh.sizes
+        axpts = [o[:, d, None] + h[:, d, None] * gll[None, :] for d in range(3)]
+        X = np.empty((n_cells, p1, p1, p1, 3))
+        X[..., 0] = axpts[0][:, None, None, :]  # local (k, j, i) = (z, y, x)
+        X[..., 1] = axpts[1][:, None, :, None]
+        X[..., 2] = axpts[2][:, :, None, None]
+        Xf = X.reshape(-1, 3)
+        keys = np.round(Xf / _TOL).astype(np.int64)
+        inv = _unique_rows_inverse(keys)
+        n_u = int(inv.max()) + 1 if inv.size else 0
+        coords_arr = np.zeros((n_u, 3))
+        coords_arr[inv] = Xf
         # Bucket-keyed dedupe can split two fp representations of the same
         # geometric node across adjacent 1e-9 buckets; merge any remaining
-        # near-duplicates with a true tolerance query.
-        coords_arr = np.asarray(coords)
+        # near-duplicates with a true tolerance query (on the already-unique
+        # coords, so this stays cheap at scale).
         from scipy.spatial import cKDTree
 
-        pairs = cKDTree(coords_arr).query_pairs(10 * _TOL)
-        if pairs:
-            parent = np.arange(len(coords))
+        pairs = cKDTree(coords_arr).query_pairs(10 * _TOL, output_type="ndarray")
+        if len(pairs):
+            parent = np.arange(coords_arr.shape[0])
 
             def find(i):
                 while parent[i] != i:
@@ -229,11 +298,11 @@ class AdaptiveSpace:
                 ra, rb = find(a), find(b)
                 if ra != rb:
                     parent[max(ra, rb)] = min(ra, rb)
-            roots = np.array([find(i) for i in range(len(coords))])
+            roots = np.array([find(i) for i in range(coords_arr.shape[0])])
             uniq, new_ids = np.unique(roots, return_inverse=True)
             coords_arr = coords_arr[uniq]
-            dof_map = new_ids[dof_map]
-            cell_nodes = [set(new_ids[list(s)]) for s in cell_nodes]
+            inv = new_ids[inv]
+        dof_map = inv.reshape(n_cells, P3)
 
         self.n_dofs = coords_arr.shape[0]
         self.node_coords = coords_arr
@@ -243,66 +312,92 @@ class AdaptiveSpace:
         # ---- hanging-node constraints (multi-level, chain-resolved) ----
         # A node is hanging iff it is NOT a node of any *coarsest*-level
         # active cell whose closure contains it; its raw masters are that
-        # cell's nodes with tensor Lagrange weights. Under the vertex 2:1
-        # balance a raw master can itself be hanging (one level coarser);
-        # chains are resolved by substitution — levels strictly decrease,
-        # so the closure terminates (deal.II resolves the same chains
-        # inside make_hanging_node_constraints).
-        lo, sz = mesh.origins, mesh.sizes
-        X = self.node_coords
-        inside = np.ones((n_cells, self.n_dofs), dtype=bool)
-        for d in range(3):
-            td = (X[None, :, d] - lo[:, None, d]) / sz[:, None, d]
-            inside &= (td > -_TOL) & (td < 1.0 + _TOL)
-        levels = mesh.levels
-        raw: dict[int, list] = {}
-        hanging = np.zeros(self.n_dofs, dtype=bool)
-        for g in range(self.n_dofs):
-            cells_g = np.flatnonzero(inside[:, g])
-            lmin = int(levels[cells_g].min())
-            lmin_cells = [int(e) for e in cells_g if levels[e] == lmin]
-            if any(g in cell_nodes[e] for e in lmin_cells):
-                continue  # conforming (master) DoF
-            e = lmin_cells[0]
-            t = (X[g] - lo[e]) / sz[e]
-            wloc = np.ones((p1, p1, p1))
-            for d, td in enumerate(t):
-                S, _ = lagrange_eval(gll, np.array([np.clip(td, 0, 1)]))
-                shape = [1, 1, 1]
-                shape[2 - d] = p1  # local order (k, j, i) = (z, y, x)
-                wloc = wloc * S[0].reshape(shape)
-            wflat = wloc.reshape(-1)
-            nzm = np.abs(wflat) > 1e-12
-            raw[g] = list(zip(dof_map[e][nzm].tolist(), wflat[nzm].tolist()))
-            hanging[g] = True
+        # cell's nodes with tensor Lagrange weights. The coarsest containing
+        # cell is found by integer lattice lookup per level (<= 8 candidate
+        # cells each — O(N log N) total, replacing the r2 [n_cells, n_dofs]
+        # matrix + per-DoF Python loop), and node-of-cell membership is the
+        # arithmetic test "every local coordinate is a GLL point".
+        tables = mesh._level_tables()
+        base_h, _ = mesh._base_geometry()
+        lower = np.asarray(mesh.lower, dtype=np.float64)
+        N = self.n_dofs
 
-        changed = True
-        while changed:
-            changed = False
-            for g, row in raw.items():
-                if any(hanging[m] for m, _ in row):
-                    new: dict[int, float] = {}
-                    for m, w in row:
-                        if hanging[m]:
-                            for m2, w2 in raw[m]:
-                                new[m2] = new.get(m2, 0.0) + w * w2
-                        else:
-                            new[m] = new.get(m, 0.0) + w
-                    raw[g] = [
-                        (m, w) for m, w in new.items() if abs(w) > 1e-12
-                    ]
-                    changed = True
+        # minimum level over the cells having each node AS A NODE: a
+        # closure-containing cell at a level BELOW this cannot have the
+        # node as one of its own (it would lower the minimum), so
+        #   hanging(g)  <=>  exists a closure-containing cell at some
+        #                    level < lev_node[g],
+        # and the first (coarsest) such cell supplies the masters. No
+        # geometric node-membership test is needed at all.
+        lev_node = np.full(N, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(
+            lev_node,
+            inv,
+            np.repeat(mesh.levels, P3),
+        )
 
-        hang_rows, hang_cols, hang_w = [], [], []
-        for g, row in raw.items():
-            for m, w in row:
-                hang_rows.append(g)
-                hang_cols.append(m)
-                hang_w.append(w)
+        own_cell = np.full(N, -1, dtype=np.int64)
+        Xrel = coords_arr - lower
+        for lv in sorted(tables):
+            rem = np.flatnonzero((own_cell < 0) & (lev_node > lv))
+            if rem.size == 0:
+                continue
+            hl = base_h / 2.0**lv
+            t = Xrel[rem] / hl
+            rt = _TOL / hl + 1e-12  # per-axis tolerance in lattice units
+            a = np.floor(t + rt).astype(np.int64)
+            b = np.floor(t - rt).astype(np.int64)  # b == a or a-1
+            for c in range(8):
+                ii = np.stack(
+                    [(a if (c >> d) & 1 else b)[:, d] for d in range(3)],
+                    axis=1,
+                )
+                found = mesh._lookup(tables[lv], ii)
+                upd = (own_cell[rem] < 0) & (found >= 0)
+                own_cell[rem[upd]] = found[upd]
+        hanging = own_cell >= 0
+        hsel = np.flatnonzero(hanging)
+        t_loc_h = (coords_arr[hsel] - o[own_cell[hsel]]) / h[own_cell[hsel]]
+        if hsel.size:
+            th = np.clip(t_loc_h, 0.0, 1.0)
+            Sx, _ = lagrange_eval(gll, th[:, 0])  # [n_h, p1]
+            Sy, _ = lagrange_eval(gll, th[:, 1])
+            Sz, _ = lagrange_eval(gll, th[:, 2])
+            W = np.einsum("nk,nj,ni->nkji", Sz, Sy, Sx).reshape(hsel.size, P3)
+            masters = dof_map[own_cell[hsel]]  # [n_h, P3]
+            ri, ci = np.nonzero(np.abs(W) > 1e-12)
+            raw_rows = hsel[ri]
+            raw_cols = masters[ri, ci]
+            raw_w = W[ri, ci]
+
+            # Chain resolution: a raw master can itself be hanging (one
+            # level coarser); levels strictly decrease along chains, so
+            # C = sum_j H^j I_conf terminates after max_level sparse
+            # matmuls (deal.II resolves the same chains inside
+            # make_hanging_node_constraints).
+            import scipy.sparse as sp
+
+            H = sp.coo_matrix(
+                (raw_w, (raw_rows, raw_cols)), shape=(N, N)
+            ).tocsr()
+            Ic = sp.diags((~hanging).astype(np.float64)).tocsr()
+            C = Ic
+            for _ in range(int(mesh.levels.max()) + 1):
+                C = Ic + H @ C
+            Ch = C[hsel].tocoo()
+            keep = np.abs(Ch.data) > 1e-12
+            hang_rows = hsel[Ch.row[keep]]
+            hang_cols = Ch.col[keep]
+            hang_w = Ch.data[keep]
+            assert not hanging[hang_cols].any(), "unresolved constraint chain"
+        else:
+            hang_rows = np.zeros(0, dtype=np.int64)
+            hang_cols = np.zeros(0, dtype=np.int64)
+            hang_w = np.zeros(0)
         self.hanging_mask_np = hanging
-        self.hang_rows = jnp.asarray(np.asarray(hang_rows, dtype=np.int32))
-        self.hang_cols = jnp.asarray(np.asarray(hang_cols, dtype=np.int32))
-        self.hang_w = jnp.asarray(np.asarray(hang_w), dtype=self.dtype)
+        self.hang_rows = jnp.asarray(hang_rows.astype(np.int32))
+        self.hang_cols = jnp.asarray(hang_cols.astype(np.int32))
+        self.hang_w = jnp.asarray(hang_w, dtype=self.dtype)
 
         # ---- Dirichlet boundary (whole domain boundary) ----
         lo = np.asarray(mesh.lower)

@@ -53,6 +53,10 @@ class BP5Config:
     # validation modes always trace at "highest" (a process-global lowered
     # precision would silently degrade the CG accuracy and the L2 norm)
     mxu_precision: str = "highest"
+    # tile tuning for backend="pallas"/"pallas_general" (None = defaults;
+    # the measured-fastest stencil config on v5e is
+    # dict(block_y=96, vmem_limit_bytes=100 << 20), see RESULTS.md)
+    pallas_opts: dict | None = None
 
 
 import contextlib
@@ -106,7 +110,12 @@ def run_cycle(cycle: int, cfg: BP5Config):
     mesh = BrickMesh.bp5_cycle(cycle)
     dtype = jnp.dtype(cfg.dtype)
     space = FESpace.create(mesh, cfg.degree, n_q=cfg.n_q, rule=cfg.rule, dtype=dtype)
-    op = PoissonOperator(space, backend=cfg.backend)
+    op_kwargs = (
+        {"pallas_opts": cfg.pallas_opts}
+        if cfg.backend in ("pallas", "pallas_general")
+        else {}
+    )
+    op = PoissonOperator(space, backend=cfg.backend, **op_kwargs)
     pcout(f"Cycle {cycle}")
     pcout(f"   Number of active cells:       {mesh.n_cells}")
     pcout(f"   Number of degrees of freedom: {space.n_dofs}")
@@ -114,44 +123,56 @@ def run_cycle(cycle: int, cfg: BP5Config):
 
     b = assemble_rhs(space, 1.0, backend=cfg.backend)
     b = jax.block_until_ready(b)
-    diag = op.diagonal()
     norm_b = float(jnp.linalg.norm(b))
     control = IterationNumberControl(cfg.n_iterations, 1e-6 * norm_b)
+
+    if cfg.backend == "pallas":
+        # whole solves run in the kernel-owned padded layout (zero padding
+        # is an invariant of the operator and of every CG update); vectors
+        # are padded once here and unpadded once for validation
+        L = op.layout
+        b_solve = jax.block_until_ready(L.pad_flat(b))
+        vm = op.vmult_padded
+        diag = jnp.ones((L.n,), dtype=space.dtype)
+        unpack = L.unpad_flat
+    else:
+        b_solve, vm, diag = b, op.vmult, op.diagonal()
+        unpack = lambda x: x  # noqa: E731
 
     results = {}
     solution = None
 
     if "pcg-standard" in cfg.modes:
-        f = jax.jit(lambda b: solve_cg(op.vmult, b, control, diag=diag))
-        x, info = f(b)  # warmup/compile
+        f = jax.jit(lambda b: solve_cg(vm, b, control, diag=diag))
+        x, info = f(b_solve)  # warmup/compile
         jax.block_until_ready(x)
         times, iters = [], []
         for _ in range(cfg.n_repetitions):
             t = Timer().start()
-            x, info = f(b)
+            x, info = f(b_solve)
             t.stop(fence=(x, info["res_norm"]))
             times.append(t.elapsed)
             iters.append(int(info["n_iterations"]))
         results["pcg-standard"] = _throughput_lines(
             "pcg-standard", space.n_dofs, times, iters
         )
-        solution = x
+        solution = unpack(x)
 
     if "pcg-merged" in cfg.modes:
-        f = jax.jit(lambda b: solve_cg_merged(op.vmult, b, control, diag=diag))
-        x, info = f(b)
+        f = jax.jit(lambda b: solve_cg_merged(vm, b, control, diag=diag))
+        x, info = f(b_solve)
         jax.block_until_ready(x)
         times, iters = [], []
         for _ in range(cfg.n_repetitions):
             t = Timer().start()
-            x, info = f(b)
+            x, info = f(b_solve)
             t.stop(fence=(x, info["res_norm"]))
             times.append(t.elapsed)
             iters.append(int(info["n_iterations"]))
         results["pcg-merged"] = _throughput_lines(
             "pcg-merged", space.n_dofs, times, iters
         )
-        solution = x
+        solution = unpack(x)
 
     if "fdm-direct" in cfg.modes:
         # beyond the reference: the Kronecker fast-diagonalization DIRECT
@@ -184,7 +205,9 @@ def run_cycle(cycle: int, cfg: BP5Config):
         from ..solvers import Multigrid
 
         mg = Multigrid(
-            space, make_op=lambda s: PoissonOperator(s, backend="separable")
+            space,
+            make_op=lambda s: PoissonOperator(s, backend="separable"),
+            fine_op=op if cfg.backend == "separable" else None,
         )
         f = jax.jit(lambda b: solve_cg(op.vmult, b, control, diag=mg.vcycle))
         x, info = f(b)
@@ -208,10 +231,10 @@ def run_cycle(cycle: int, cfg: BP5Config):
         @jax.jit
         def chain(u):
             return jax.lax.fori_loop(
-                0, cfg.n_iterations, lambda i, v: op.vmult(v), u
+                0, cfg.n_iterations, lambda i, v: vm(v), u
             )
 
-        u0 = b / jnp.linalg.norm(b)
+        u0 = b_solve / jnp.linalg.norm(b_solve)
         with _vmult_precision(cfg):
             jax.block_until_ready(chain(u0))  # traced under the bench precision
         times = []
@@ -245,7 +268,12 @@ def run(cycle_min=7, cycle_max=40, cfg: BP5Config | None = None):
 
 
 def run_cycle_distributed(
-    cycle: int, pz: int, py: int = 1, cfg: BP5Config | None = None
+    cycle: int,
+    pz: int,
+    py: int = 1,
+    cfg: BP5Config | None = None,
+    px: int = 1,
+    write_solution: str | None = None,
 ):
     """Distributed benchmark over a ``pz x py`` device mesh ((z, y) block
     decomposition; any shard count divides any mesh via dead-element
@@ -265,13 +293,13 @@ def run_cycle_distributed(
     )
 
     cfg = cfg or BP5Config()
-    n_shards = pz * py
+    n_shards = pz * py * px
     mesh = BrickMesh.bp5_cycle(cycle)
     dtype = jnp.dtype(cfg.dtype)
     space = FESpace.create(mesh, cfg.degree, rule=cfg.rule, dtype=dtype)
-    part = BlockPartition(mesh, cfg.degree, pz=pz, py=py)
+    part = BlockPartition(mesh, cfg.degree, pz=pz, py=py, px=px)
     dist_op = DistOperator(part, PoissonOperator, dtype=dtype, backend=cfg.backend)
-    pcout(f"Cycle {cycle} on {pz}x{py} shards")
+    pcout(f"Cycle {cycle} on {pz}x{py}x{px} shards")
     pcout(f"   Number of active cells:       {mesh.n_cells}")
     pcout(f"   Number of degrees of freedom: {space.n_dofs}")
 
@@ -281,7 +309,7 @@ def run_cycle_distributed(
     b_stacked = jnp.asarray(
         part.to_blocks(np.asarray(b).reshape(space.grid_shape))
     )
-    devmesh = make_device_mesh(pz, py)
+    devmesh = make_device_mesh(pz, py, px=px)
     results = {}
 
     if "pcg-standard" in cfg.modes:
@@ -314,6 +342,13 @@ def run_cycle_distributed(
             "pcg-merged", space.n_dofs, times, iters, n_ranks=n_shards
         )
         results["n_iterations"] = iters[-1]
+        if write_solution:
+            # per-shard .vtr pieces + .pvtr master (the reference's
+            # per-rank VTU + PVTU record, step-64/step-64.cu:560-588)
+            from ..utils.vtk import write_solution_pvtr
+
+            write_solution_pvtr(write_solution, part, np.asarray(x))
+            pcout(f"   wrote {write_solution} (+ per-shard pieces)")
 
     if "fdm-direct" in cfg.modes:
         # distributed exact FDM solve: 8 all_to_all shard transposes
@@ -390,7 +425,14 @@ def main():
     ap.add_argument(
         "--shards",
         default="1",
-        help="device-mesh decomposition: N (z slabs) or PZxPY (2D blocks)",
+        help="device-mesh decomposition: N (z slabs), PZxPY (2D blocks) "
+        "or PZxPYxPX (full 3D)",
+    )
+    ap.add_argument(
+        "--write-solution",
+        default=None,
+        help="distributed runs: write the pcg-merged solution as per-shard "
+        ".vtr pieces + a .pvtr master to this path",
     )
     ap.add_argument(
         "--mxu-precision",
@@ -408,14 +450,20 @@ def main():
         backend=args.backend,
         modes=tuple(args.modes.split(",")),
         mxu_precision=args.mxu_precision,
+        # measured-fastest v5e stencil tiles (RESULTS.md sweep)
+        pallas_opts=(
+            dict(block_y=96, vmem_limit_bytes=100 << 20)
+            if args.backend == "pallas"
+            else None
+        ),
     )
-    if "x" in args.shards:
-        pz, py = (int(s) for s in args.shards.split("x"))
-    else:
-        pz, py = int(args.shards), 1
-    if pz * py > 1:
+    parts = [int(s) for s in args.shards.split("x")]
+    pz, py, px = (parts + [1, 1])[:3]
+    if pz * py * px > 1:
         for cycle in range(args.cycle_min, args.cycle_max + 1):
-            run_cycle_distributed(cycle, pz, py, cfg)
+            run_cycle_distributed(
+                cycle, pz, py, cfg, px=px, write_solution=args.write_solution
+            )
     else:
         run(args.cycle_min, args.cycle_max, cfg)
 

@@ -64,7 +64,9 @@ def run(
         from ..solvers import Multigrid
 
         diag = Multigrid(
-            space, make_op=lambda s: HelmholtzOperator(s, backend=backend)
+            space,
+            make_op=lambda s: HelmholtzOperator(s, backend=backend),
+            fine_op=op,
         ).vcycle
         if use_merged:
             raise ValueError("mg preconditioning requires the plain solver")

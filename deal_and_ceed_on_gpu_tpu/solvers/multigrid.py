@@ -112,27 +112,25 @@ def prolongation_1d(
 def _chebyshev_bounds(vmult, dinv, space, smoothing_range, n_power=12):
     """(lambda_min, lambda_max) for the Chebyshev smoother: power iteration
     on D^-1 A over the constrained-zero subspace, with the deal.II-style
-    1.2x safety factor and lambda_min = lambda_max / smoothing_range."""
+    1.2x safety factor and lambda_min = lambda_max / smoothing_range.
+
+    Runs EAGERLY (op-by-op, no jit): this is a one-shot setup estimate, and
+    a jitted fori_loop here costs a throwaway XLA compile of the full vmult
+    per level (~48 s at 1M DoFs on a mapped mesh, the dominant r2 MG setup
+    cost) to save milliseconds of device time."""
     u0 = jnp.asarray(
         np.random.default_rng(42).standard_normal(space.n_dofs),
         dtype=space.dtype,
     )
-    u0 = space.zero_constrained_values(u0)
-
-    @jax.jit
-    def power(u):
-        def body(i, carry):
-            u, lam = carry
-            v = dinv * vmult(u)
-            v = space.zero_constrained_values(v)
-            lam = jnp.linalg.norm(v) / jnp.linalg.norm(u)
-            return v / jnp.linalg.norm(v), lam
-
-        return jax.lax.fori_loop(
-            0, n_power, body, (u / jnp.linalg.norm(u), jnp.array(1.0, space.dtype))
-        )[1]
-
-    lam_max = 1.2 * float(power(u0))
+    u = space.zero_constrained_values(u0)
+    u = u / jnp.linalg.norm(u)
+    lam = 1.0
+    for _ in range(n_power):
+        v = dinv * vmult(u)
+        v = space.zero_constrained_values(v)
+        lam = float(jnp.linalg.norm(v))
+        u = v / lam
+    lam_max = 1.2 * lam
     return lam_max / smoothing_range, lam_max
 
 
@@ -153,7 +151,13 @@ class Multigrid:
         smooth_degree: int = 3,
         smoothing_range: float = 20.0,
         coarse_max_dofs: int = 4000,
+        fine_op=None,
     ):
+        """``fine_op``: the already-constructed finest-level operator (the
+        one the driver solves with). Passing it skips rebuilding the level-0
+        operator — on mapped meshes that means recomputing the full
+        per-qpoint isoparametric geometry (~90 s at 1M DoFs, the largest
+        single r2 MG setup cost)."""
         if make_op is None:
             from ..models import PoissonOperator
 
@@ -191,7 +195,12 @@ class Multigrid:
                 "coarse solve; choose a mesh with more powers of two"
             )
         self.spaces = spaces
-        self.ops = [make_op(s) for s in spaces]
+        self.ops = [make_op(s) for s in spaces[1:]]
+        if fine_op is not None:
+            assert fine_op.space is space, "fine_op must be built on `space`"
+            self.ops.insert(0, fine_op)
+        else:
+            self.ops.insert(0, make_op(space))
 
         # per-level Jacobi diagonals + Chebyshev bounds (coarsest level
         # uses the dense inverse — no smoother there)

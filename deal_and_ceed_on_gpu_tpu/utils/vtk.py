@@ -13,7 +13,126 @@ import numpy as np
 
 from . import native
 
-__all__ = ["write_solution_vtr", "write_solution_vts"]
+__all__ = ["write_solution_vtr", "write_solution_vts", "write_solution_pvtr"]
+
+
+def _write_vtr_piece(path, xs, ys, zs, values, whole_ext, piece_ext,
+                     field_name="solution"):
+    """One .vtr piece whose Extent is a subrange of a global WholeExtent
+    (the per-shard piece of a distributed solution)."""
+    xs, ys, zs = (np.ascontiguousarray(a, np.float64) for a in (xs, ys, zs))
+    values = np.ascontiguousarray(values, np.float64)
+    blobs = [values.tobytes(), xs.tobytes(), ys.tobytes(), zs.tobytes()]
+    offsets, off = [], 0
+    for b in blobs:
+        offsets.append(off)
+        off += 8 + len(b)
+    hdr = (
+        '<?xml version="1.0"?>\n'
+        '<VTKFile type="RectilinearGrid" version="1.0" '
+        'byte_order="LittleEndian" header_type="UInt64">\n'
+        f'<RectilinearGrid WholeExtent="{whole_ext}">\n'
+        f'<Piece Extent="{piece_ext}">\n'
+        f'<PointData Scalars="{field_name}">\n'
+        f'<DataArray type="Float64" Name="{field_name}" format="appended" '
+        f'offset="{offsets[0]}"/>\n</PointData>\n<Coordinates>\n'
+        + "".join(
+            f'<DataArray type="Float64" Name="{n}" format="appended" '
+            f'offset="{o}"/>\n'
+            for n, o in zip("xyz", offsets[1:])
+        )
+        + "</Coordinates>\n</Piece>\n</RectilinearGrid>\n"
+        '<AppendedData encoding="raw">\n_'
+    )
+    with open(path, "wb") as f:
+        f.write(hdr.encode())
+        for b in blobs:
+            f.write(struct.pack("<Q", len(b)))
+            f.write(b)
+        f.write(b"\n</AppendedData>\n</VTKFile>\n")
+
+
+def write_solution_pvtr(path, part, blocks, field_name="solution"):
+    """Distributed solution output: one ``.vtr`` piece per shard plus a
+    ``.pvtr`` master record tying them together — the reference's
+    per-rank-VTU + PVTU scheme (``step-64/step-64.cu:560-588``).
+
+    ``part``: the :class:`~...parallel.partition.BlockPartition` of the
+    solve; ``blocks``: the solve's ghosted-blocks array (host or device,
+    ``part.flat_grid_shape``). Pieces carry their GLOBAL extents (shared
+    boundary planes overlap by one node, as ParaView expects); dead
+    padding is clipped off. In the single-controller JAX model the host
+    writes all pieces; under multi-host each controller would write the
+    pieces of its addressable shards.
+
+    Returns the master path; pieces land next to it as
+    ``<stem>_<k>.vtr``."""
+    import os
+
+    blocks = np.asarray(blocks).reshape(part.flat_grid_shape)
+    nz, ny, nx = part.global_grid_shape
+    nzl, nyl, nxl = part.local_grid_shape
+    p = part.degree
+    xs, ys, zs = part.mesh.node_coords_1d(p, _gll_nodes(p))
+    whole = f"0 {nx-1} 0 {ny-1} 0 {nz-1}"
+    stem, _ = os.path.splitext(path)
+    pieces = []
+    k = 0
+    sz, sy, sx = part.mz_local * p, part.my_local * p, part.mx_local * p
+    for iz in range(part.pz):
+        z0, z1 = iz * sz, min(iz * sz + nzl - 1, nz - 1)
+        for iy in range(part.py):
+            y0, y1 = iy * sy, min(iy * sy + nyl - 1, ny - 1)
+            for ix in range(part.px):
+                x0, x1 = ix * sx, min(ix * sx + nxl - 1, nx - 1)
+                if z1 < z0 or y1 < y0 or x1 < x0:
+                    k += 1
+                    continue  # fully-dead shard: no physical nodes
+                piece_ext = f"{x0} {x1} {y0} {y1} {z0} {z1}"
+                vals = blocks[
+                    iz * nzl : iz * nzl + (z1 - z0 + 1),
+                    iy * nyl : iy * nyl + (y1 - y0 + 1),
+                    ix * nxl : ix * nxl + (x1 - x0 + 1),
+                ]
+                ppath = f"{stem}_{k}.vtr"
+                _write_vtr_piece(
+                    ppath,
+                    xs[x0 : x1 + 1],
+                    ys[y0 : y1 + 1],
+                    zs[z0 : z1 + 1],
+                    vals,
+                    whole,
+                    piece_ext,
+                    field_name,
+                )
+                pieces.append((piece_ext, os.path.basename(ppath)))
+                k += 1
+    master = (
+        '<?xml version="1.0"?>\n'
+        '<VTKFile type="PRectilinearGrid" version="1.0" '
+        'byte_order="LittleEndian" header_type="UInt64">\n'
+        f'<PRectilinearGrid WholeExtent="{whole}" GhostLevel="0">\n'
+        f'<PPointData Scalars="{field_name}">\n'
+        f'<PDataArray type="Float64" Name="{field_name}"/>\n'
+        "</PPointData>\n<PCoordinates>\n"
+        '<PDataArray type="Float64" Name="x"/>\n'
+        '<PDataArray type="Float64" Name="y"/>\n'
+        '<PDataArray type="Float64" Name="z"/>\n'
+        "</PCoordinates>\n"
+        + "".join(
+            f'<Piece Extent="{ext}" Source="{src}"/>\n' for ext, src in pieces
+        )
+        + "</PRectilinearGrid>\n</VTKFile>\n"
+    )
+    with open(path, "w") as f:
+        f.write(master)
+    return path
+
+
+def _gll_nodes(p):
+    from ..basis import Basis1D
+
+    return Basis1D.make(p, rule="gauss_lobatto").nodes
 
 
 def _write_vtr_py(path, xs, ys, zs, values, field_name="solution"):

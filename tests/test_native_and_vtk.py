@@ -91,3 +91,45 @@ def test_write_solution_vts_mapped(tmp_path):
     npts = struct.unpack("<Q", data[j : j + 8])[0] // 24
     pts = np.frombuffer(data[j + 8 : j + 8 + npts * 24]).reshape(-1, 3)
     np.testing.assert_allclose(pts, space.node_coords(), atol=1e-14)
+
+
+def test_write_solution_pvtr(tmp_path):
+    """Distributed output: per-shard .vtr pieces + .pvtr master whose
+    extents tile the global grid; piece payloads reconstruct the field."""
+    import re
+    import struct
+
+    import jax.numpy as jnp
+
+    from deal_and_ceed_on_gpu_tpu import BrickMesh, FESpace
+    from deal_and_ceed_on_gpu_tpu.parallel import BlockPartition
+    from deal_and_ceed_on_gpu_tpu.utils.vtk import write_solution_pvtr
+
+    mesh = BrickMesh((3, 4, 5))  # uneven on z with pz=2
+    p = 2
+    space = FESpace.create(mesh, p, rule="gauss_lobatto", dtype=jnp.float64)
+    part = BlockPartition(mesh, p, pz=2, py=2)
+    rng = np.random.default_rng(0)
+    u = rng.standard_normal(space.grid_shape)
+    blocks = part.to_blocks(u)
+    master = tmp_path / "sol.pvtr"
+    write_solution_pvtr(str(master), part, blocks)
+
+    txt = master.read_text()
+    pieces = re.findall(r'<Piece Extent="([^"]+)" Source="([^"]+)"/>', txt)
+    assert len(pieces) == 4
+    nz, ny, nx = part.global_grid_shape
+    covered = np.zeros((nz, ny, nx), dtype=bool)
+    recon = np.zeros((nz, ny, nx))
+    for ext, src in pieces:
+        x0, x1, y0, y1, z0, z1 = (int(v) for v in ext.split())
+        raw = (tmp_path / src).read_bytes()
+        body = raw.split(b'<AppendedData encoding="raw">\n_', 1)[1]
+        (n,) = struct.unpack("<Q", body[:8])
+        vals = np.frombuffer(body[8 : 8 + n]).reshape(
+            z1 - z0 + 1, y1 - y0 + 1, x1 - x0 + 1
+        )
+        recon[z0 : z1 + 1, y0 : y1 + 1, x0 : x1 + 1] = vals
+        covered[z0 : z1 + 1, y0 : y1 + 1, x0 : x1 + 1] = True
+    assert covered.all()
+    np.testing.assert_array_equal(recon, u)
