@@ -34,7 +34,10 @@ BASELINE_GDOFS = 1.0  # BASELINE.json north-star: >= 1 GDoF/s/chip
 
 
 def measure(space, backend, pallas_opts=None):
-    """Best-of-N_REPS chained-apply throughput (DoF/s) for one backend."""
+    """Best-of-N_REPS chained-apply throughput (DoF/s) for one backend,
+    plus the pcg-merged solver throughput (DoFs * iters / s) on the same
+    operator — a fixed-iteration merged-CG solve so solver-path
+    regressions (not just raw vmult) are visible to the driver bench."""
     n = space.n_dofs
     rng = np.random.default_rng(0)
     u0 = jnp.asarray(rng.standard_normal(n), dtype=space.dtype)
@@ -46,6 +49,19 @@ def measure(space, backend, pallas_opts=None):
     else:
         op = PoissonOperator(space, backend=backend)
         u, vm = u0, op.vmult
+
+    # ---- pcg-merged throughput (before fold_scale rescales the op) ----
+    from deal_and_ceed_on_gpu_tpu import IterationNumberControl, solve_cg_merged
+
+    n_it = 50
+    control = IterationNumberControl(n_it, 0.0)
+    solver = jax.jit(lambda b: solve_cg_merged(vm, b, control)[0])
+    jax.block_until_ready(solver(u))
+    best_cg = 0.0
+    for _ in range(N_REPS):
+        t0 = time.perf_counter()
+        jax.block_until_ready(solver(u))
+        best_cg = max(best_cg, n * n_it / (time.perf_counter() - t0))
 
     # keep the chained applies bounded by folding the 1/lambda_est
     # normalization INTO the operator tables (fold_scale) — each chain
@@ -64,7 +80,7 @@ def measure(space, backend, pallas_opts=None):
         t0 = time.perf_counter()
         jax.block_until_ready(chain(u))
         best = max(best, n * N_APPLIES / (time.perf_counter() - t0))
-    return best
+    return best, best_cg
 
 
 def main():
@@ -82,7 +98,7 @@ def main():
     # first candidate that works wins (the list is fastest-first)
     for backend, opts in candidates:
         try:
-            best, used = measure(space, backend, opts), backend
+            (best, best_cg), used = measure(space, backend, opts), backend
             break
         except Exception:
             traceback.print_exc(file=sys.stderr)
@@ -100,6 +116,7 @@ def main():
                 "value": round(gdofs, 4),
                 "unit": "GDoF/s/chip",
                 "vs_baseline": round(gdofs / BASELINE_GDOFS, 4),
+                "pcg_merged_gdofs": round(best_cg / 1e9, 4),
             }
         )
     )

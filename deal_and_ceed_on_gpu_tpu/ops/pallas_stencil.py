@@ -140,9 +140,14 @@ class StencilLayout:
         # instead of crediting reuse, so tiles that fit fine at runtime
         # fail the default 16MB check; raising the limit unlocks them.
         self.vmem_limit_bytes = vmem_limit_bytes
-        # y-subtile: largest divisor of BY that is <= 32 (the static
-        # subtile loop requires SY | BY)
-        self.SY = next(s for s in range(min(BY, 32), 0, -1) if BY % s == 0)
+        # y-subtile: largest divisor of BY that is <= 32 AND a multiple
+        # of 8 — the subtile offsets (YOFF + ys) feed dynamic slices whose
+        # sublane alignment Mosaic must prove statically (a non-8-aligned
+        # SY, e.g. 22 when ny_eff=88 caps BY, fails to compile). Always
+        # exists because BY is rounded up to a multiple of 8.
+        self.SY = next(
+            s for s in range(min(BY, 32), 0, -1) if BY % s == 0 and s % 8 == 0
+        )
 
         self.nzb = -(-(nz + p) // BZ)  # z blocks cover padded rows [0, p+nz)
         self.nyb = -(-(ny + YOFF) // BY)

@@ -32,3 +32,27 @@ def test_bp_sweep_smoke():
         dtype="float64", modes=("pcg-merged",),
     )
     assert res[2]["pcg-merged"] > 0
+
+
+def test_bp5_pallas_backend_cycle_smoke():
+    """run_cycle with backend='pallas': whole solves in the padded layout
+    (interpret-mode kernel on CPU)."""
+    cfg = bp5.BP5Config(
+        degree=2, n_iterations=12, n_repetitions=1, dtype="float64",
+        backend="pallas", modes=("pcg-standard", "pcg-merged", "vmult"),
+        pallas_opts=dict(interpret=True),
+    )
+    res = bp5.run_cycle(8, cfg)
+    assert res["pcg-merged"] > 0 and res["vmult"] > 0
+    assert np.isfinite(res["l2_norm"])
+
+
+def test_bp5_pallas_general_backend_cycle_smoke():
+    """run_cycle with backend='pallas_general' (Gauss rule)."""
+    cfg = bp5.BP5Config(
+        degree=2, n_iterations=12, n_repetitions=1, dtype="float64",
+        backend="pallas_general", rule="gauss",
+        modes=("pcg-merged",), pallas_opts=dict(interpret=True),
+    )
+    res = bp5.run_cycle(8, cfg)
+    assert res["pcg-merged"] > 0 and np.isfinite(res["l2_norm"])

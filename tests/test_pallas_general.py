@@ -2,6 +2,7 @@
 structured XLA backends, across rules (Gauss p+1 / p+2, GLL) and
 geometries (uniform, graded, mapped)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -119,3 +120,31 @@ def test_general_solve_matches_structured():
     np.testing.assert_allclose(
         np.asarray(x), np.asarray(x_ref), rtol=1e-10, atol=1e-13
     )
+
+
+def test_general_split3_precision_mode():
+    """split3 (emulated bf16x3) stays within ~1e-5 of the exact apply and
+    f64 spaces silently fall back to exact HIGHEST."""
+    mesh = BrickMesh((3, 3, 3))
+    space = FESpace.create(mesh, 3, rule="gauss", dtype=jnp.float32)
+    op_ref = PoissonOperator(space, backend="structured")
+    op = PoissonOperator(
+        space,
+        backend="pallas_general",
+        pallas_opts=dict(interpret=True, precision="split3"),
+    )
+    u = jnp.asarray(
+        np.random.default_rng(7).standard_normal(space.n_dofs), jnp.float32
+    )
+    want = np.asarray(op_ref.vmult(u), np.float64)
+    got = np.asarray(op.vmult(u), np.float64)
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 3e-5, rel
+
+    sp64 = FESpace.create(mesh, 2, rule="gauss", dtype=jnp.float64)
+    op64 = PoissonOperator(
+        sp64,
+        backend="pallas_general",
+        pallas_opts=dict(interpret=True, precision="split3"),
+    )
+    assert op64._general.precision == jax.lax.Precision.HIGHEST
