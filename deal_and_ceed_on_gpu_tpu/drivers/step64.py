@@ -36,10 +36,15 @@ def run(
     max_steps: int = 2000,
     vtu_path: str | None = None,
     precond: str = "none",
+    pallas_opts: dict | None = None,
 ):
     mesh = BrickMesh.hyper_cube().refine_global(n_refine)
     space = FESpace.create(mesh, degree, rule="gauss", dtype=jnp.dtype(dtype))
-    op = HelmholtzOperator(space, backend=backend)
+    op = (
+        HelmholtzOperator(space, backend=backend, pallas_opts=pallas_opts)
+        if pallas_opts is not None
+        else HelmholtzOperator(space, backend=backend)
+    )
     pcout(f"   Number of active cells: {mesh.n_cells}")
     pcout(f"   Number of degrees of freedom: {space.n_dofs}")
 

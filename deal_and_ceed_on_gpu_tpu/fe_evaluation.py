@@ -67,6 +67,7 @@ class FEEvaluation:
             ]
             self._cdiag = tuple(jnp.asarray(c, dtype=space.dtype) for c in coef)
             self._coef6 = None
+        self._jinv_t = None  # lazy J^{-T} layout tables for get_gradient
 
     # ------------------------------------------------------------------ #
     def read_dof_values(self, src: jnp.ndarray) -> jnp.ndarray:
@@ -85,12 +86,31 @@ class FEEvaluation:
         return vals
 
     def get_gradient(self, grads):
-        """Physical-space gradients: J^{-1} (diagonal here) times the
-        reference-cell gradients (``bp5/fe_evaluation_gl.h:328-344``)."""
-        raise NotImplementedError(
-            "physical gradients are folded into submit_gradient's merged "
-            "coefficient (MERGED_COEFFICIENTS design); use reference-cell "
-            "gradients + submit_gradient"
+        """Physical-space gradients: J^{-T} times the reference-cell
+        gradients (``bp5/fe_evaluation_gl.h:328-344``). The production
+        operators never materialize these (the J factors are folded into
+        submit_gradient's merged coefficient); this is for user functors
+        that need physical gradients, e.g. nonlinear coefficients."""
+        gx, gy, gz = grads
+        geo = self.space.geometry
+        if geo.uniform:
+            hx, hy, hz = geo.h
+            return (gx / hx, gy / hy, gz / hz)
+        if self._jinv_t is None:
+            jinv = geo.inv_jacobian_full()  # [E, n_q, 3, 3]
+            self._jinv_t = tuple(
+                tuple(
+                    jnp.asarray(
+                        self._h.to_layout(jinv[:, :, e, d]),
+                        dtype=self.space.dtype,
+                    )
+                    for e in range(3)
+                )
+                for d in range(3)
+            )
+        # phys_d = sum_e Jinv[e, d] * g_e  (J^{-T} contraction)
+        return tuple(
+            c[0] * gx + c[1] * gy + c[2] * gz for c in self._jinv_t
         )
 
     def submit_value(self, vals):

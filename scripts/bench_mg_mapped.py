@@ -6,6 +6,10 @@ import time
 
 sys.path.insert(0, ".")
 import jax
+
+# f64 end-to-end (slow on TPU); the axon plugin ignores the env var, so
+# the config update is required (same gotcha as jax_platforms)
+jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
 import numpy as np
 

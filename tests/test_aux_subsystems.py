@@ -51,3 +51,12 @@ def test_step64_driver_golden(tmp_path):
     gather = step64.run(n_refine=2, degree=3, dtype="float64", backend="gather")
     assert gather["n_iterations"] == r1["n_iterations"]
     np.testing.assert_allclose(gather["l2_norm"], r1["l2_norm"], rtol=1e-12)
+    # the general-quadrature Pallas kernel at the reference's native
+    # step-64 configuration (Q3, QGauss) hits the same golden values
+    # (VERDICT r2 item 9); interpret-mode kernel on CPU
+    pg = step64.run(
+        n_refine=2, degree=3, dtype="float64", backend="pallas_general",
+        pallas_opts=dict(interpret=True),
+    )
+    assert pg["n_iterations"] == r1["n_iterations"]
+    np.testing.assert_allclose(pg["l2_norm"], r1["l2_norm"], rtol=1e-11)
