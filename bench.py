@@ -46,16 +46,20 @@ def measure(space, backend, pallas_opts=None):
         op = PoissonOperator(space, backend="pallas", pallas_opts=pallas_opts)
         u = op.layout.pad_flat(u0)
         vm = op.vmult_padded
+        # NOT active_spec(): sliced updates lose to XLA's DUS copies on
+        # the dev chip (scripts/exp_active_cg.py)
+        active = None
     else:
         op = PoissonOperator(space, backend=backend)
         u, vm = u0, op.vmult
+        active = None
 
     # ---- pcg-merged throughput (before fold_scale rescales the op) ----
     from deal_and_ceed_on_gpu_tpu import IterationNumberControl, solve_cg_merged
 
     n_it = 50
     control = IterationNumberControl(n_it, 0.0)
-    solver = jax.jit(lambda b: solve_cg_merged(vm, b, control)[0])
+    solver = jax.jit(lambda b: solve_cg_merged(vm, b, control, active=active)[0])
     jax.block_until_ready(solver(u))
     best_cg = 0.0
     for _ in range(N_REPS):

@@ -129,21 +129,29 @@ def run_cycle(cycle: int, cfg: BP5Config):
     if cfg.backend == "pallas":
         # whole solves run in the kernel-owned padded layout (zero padding
         # is an invariant of the operator and of every CG update); vectors
-        # are padded once here and unpadded once for validation
+        # are padded once here and unpadded once for validation. diag=None
+        # is the reference's identity DiagonalMatrix without materializing
+        # a ones vector. active_spec() (skip dead z/y padding in the CG
+        # updates) is measured SLOWER on the dev chip — XLA materializes a
+        # copy per sliced dynamic-update-slice, eating the 1.5x traffic
+        # saving (scripts/exp_active_cg.py: 4.09 full vs 2.66 sliced
+        # GDoF/s) — so the full-vector updates stay the default here.
         L = op.layout
         b_solve = jax.block_until_ready(L.pad_flat(b))
         vm = op.vmult_padded
-        diag = jnp.ones((L.n,), dtype=space.dtype)
+        diag = None
+        active = None
         unpack = L.unpad_flat
     else:
         b_solve, vm, diag = b, op.vmult, op.diagonal()
+        active = None
         unpack = lambda x: x  # noqa: E731
 
     results = {}
     solution = None
 
     if "pcg-standard" in cfg.modes:
-        f = jax.jit(lambda b: solve_cg(vm, b, control, diag=diag))
+        f = jax.jit(lambda b: solve_cg(vm, b, control, diag=diag, active=active))
         x, info = f(b_solve)  # warmup/compile
         jax.block_until_ready(x)
         times, iters = [], []
@@ -159,7 +167,9 @@ def run_cycle(cycle: int, cfg: BP5Config):
         solution = unpack(x)
 
     if "pcg-merged" in cfg.modes:
-        f = jax.jit(lambda b: solve_cg_merged(vm, b, control, diag=diag))
+        f = jax.jit(
+            lambda b: solve_cg_merged(vm, b, control, diag=diag, active=active)
+        )
         x, info = f(b_solve)
         jax.block_until_ready(x)
         times, iters = [], []

@@ -249,6 +249,21 @@ class StencilLayout:
         u3 = up.reshape(self.padded_shape)
         return u3[self.p : self.p + nz, YOFF : YOFF + ny, :nx].reshape(-1)
 
+    def active_spec(self):
+        """``(shape3, slices)`` of the real (z, y) sub-box for the CG
+        solvers' ``active`` knob: elementwise solver updates and dots can
+        skip the dead z planes / y rows entirely (they are zero by the
+        layout invariant and a fixed point of every update). The x axis is
+        kept whole — its dead lanes are zero too, but slicing to ``nx``
+        would misalign the 128-lane minor dim for a ~6% traffic saving.
+        Cuts solver-side HBM traffic by the z*y padding ratio (~1.5x at
+        the BP5 cycle-33 layout)."""
+        nz, ny, _ = self.real_shape
+        return (
+            self.padded_shape,
+            (slice(self.p, self.p + nz), slice(YOFF, YOFF + ny), slice(None)),
+        )
+
     def dirichlet_mask_padded(self, mesh) -> jnp.ndarray:
         """Materialized constrained mask (tests / host-side use only)."""
         nz, ny, nx = self.real_shape

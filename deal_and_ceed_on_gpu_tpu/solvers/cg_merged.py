@@ -65,20 +65,51 @@ def solve_cg_merged(
     dot_dtype=None,
     dot_weight: Optional[jnp.ndarray] = None,
     psum_axis: Optional[str] = None,
+    active=None,
 ):
     """Solve A x = b. Returns ``(x, info)``; see ``solve_cg`` for the diag
     convention and the distributed ``dot_weight``/``psum_axis`` knobs. The
-    whole solve is one jittable expression."""
+    whole solve is one jittable expression.
+
+    ``active``: optional ``(shape3, (sl_z, sl_y, sl_x))`` — e.g.
+    ``StencilLayout.active_spec()`` — restricting every elementwise CG
+    update and reduction to the real sub-box of a kernel-owned padded
+    layout. The dead padding of such layouts is zero by invariant (it
+    contributes nothing to any dot product and is a fixed point of every
+    update), so skipping it is exact and cuts the solver's HBM traffic by
+    the padding ratio (1.6x at the BP5 cycle-33 layout). Requires b/x0
+    zero outside the box and A preserving that invariant. CAVEAT: on the
+    v5e dev chip XLA materializes a copy per sliced dynamic-update-slice
+    in the loop body, which more than eats the traffic saving
+    (scripts/exp_active_cg.py: 4.09 full / 2.66 sliced GDoF/s at cycle
+    33) — measure before enabling."""
     dt = b.dtype
     dd = dot_dtype or dt
+
+    if active is None:
+        rd = lambda v: v  # noqa: E731
+
+        def wr(v, new):
+            return new
+
+    else:
+        shape3, sl = active
+
+        def rd(v):
+            return v.reshape(shape3)[sl]
+
+        def wr(v, new):
+            return v.reshape(shape3).at[sl].set(new).reshape(v.shape)
 
     def _reduce(*scalars):
         if psum_axis:
             return jax.lax.psum(jnp.stack(scalars), psum_axis)
         return jnp.stack(scalars)
 
-    if diag is None:
-        diag = jnp.ones_like(b)
+    # diag == None is the reference's identity DiagonalMatrix; a python
+    # scalar broadcasts through every use below WITHOUT materializing (or
+    # streaming) an all-ones vector
+    diag_a = 1.0 if diag is None else rd(diag)
 
     # init (bp5/solver.h:373-383): g = A x - b, short-circuit for x0 == None
     if x0 is None:
@@ -88,32 +119,34 @@ def solve_cg_merged(
         x = x0
         g = A(x0) - b
 
-    def dots7(d, g, h):
-        """One fused pass: the update_b seven-way reduction. Elementwise
-        products share the four input reads; XLA fuses the sibling sums, and
-        under sharding the stacked psum is ONE 7-scalar all-reduce — the
-        reference's single ``MPI_Allreduce(…, 7, …)``."""
-        w = 1.0 if dot_weight is None else dot_weight
-        dg = (diag * h).astype(dd)
-        gd = (g * w).astype(dd)
-        hd = h.astype(dd)
+    def dots7(da, ga, ha):
+        """One fused pass over the ACTIVE views: the update_b seven-way
+        reduction. Elementwise products share the four input reads; XLA
+        fuses the sibling sums, and under sharding the stacked psum is ONE
+        7-scalar all-reduce — the reference's single
+        ``MPI_Allreduce(…, 7, …)``."""
+        w = 1.0 if dot_weight is None else rd(dot_weight)
+        dg = (diag_a * ha).astype(dd)
+        gd = (ga * w).astype(dd)
+        hd = ha.astype(dd)
         s = _reduce(
-            jnp.sum((d * w).astype(dd) * hd),  # 0: d.h     (p.v)
-            jnp.sum((h * w).astype(dd) * hd),  # 1: h.h     (v.v)
-            jnp.sum(gd * hd),                  # 2: g.h     (r.v)
-            jnp.sum(gd * g.astype(dd)),        # 3: g.g     (r.r)
-            jnp.sum(gd * dg),                  # 4: g.Mh    (r.diag v)
-            jnp.sum((h * w).astype(dd) * dg),  # 5: h.Mh    (v.diag v)
-            jnp.sum(gd * (diag * g).astype(dd)),  # 6: g.Mg (r.diag r)
+            jnp.sum((da * w).astype(dd) * hd),  # 0: d.h     (p.v)
+            jnp.sum((ha * w).astype(dd) * hd),  # 1: h.h     (v.v)
+            jnp.sum(gd * hd),                   # 2: g.h     (r.v)
+            jnp.sum(gd * ga.astype(dd)),        # 3: g.g     (r.r)
+            jnp.sum(gd * dg),                   # 4: g.Mh    (r.diag v)
+            jnp.sum((ha * w).astype(dd) * dg),  # 5: h.Mh    (v.diag v)
+            jnp.sum(gd * (diag_a * ga).astype(dd)),  # 6: g.Mg (r.diag r)
         )
         return s[0], s[1], s[2], s[3], s[4], s[5], s[6]
 
-    w0 = 1.0 if dot_weight is None else dot_weight
-    res0_sq = jnp.sum((g * w0).astype(dd) * g.astype(dd))
+    w0 = 1.0 if dot_weight is None else rd(dot_weight)
+    ga0 = rd(g)
+    res0_sq = jnp.sum((ga0 * w0).astype(dd) * ga0.astype(dd))
     if psum_axis:
         res0_sq = jax.lax.psum(res0_sq, psum_axis)
     res0 = jnp.sqrt(res0_sq)
-    d = -diag * g  # update_a0 (bp5/solver.h:48-72)
+    d = wr(jnp.zeros_like(b), -diag_a * ga0)  # update_a0 (bp5/solver.h:48-72)
 
     zero = jnp.zeros((), dtype=dd)
 
@@ -126,7 +159,8 @@ def solve_cg_merged(
         it = state["it"] + 1
 
         h = A(d)
-        s0, s1, s2, s3, s4, s5, s6 = dots7(d, g, h)
+        da, ga, ha = rd(d), rd(g), rd(h)
+        s0, s1, s2, s3, s4, s5, s6 = dots7(da, ga, ha)
         # safe divides: at exact convergence (g == 0) the reference would
         # trip ExcDivideByZero (bp5/solver.h:501); here alpha/beta collapse
         # to 0, the residual recurrence yields |g| = 0 and the loop exits.
@@ -146,18 +180,21 @@ def solve_cg_merged(
 
             def x_two_step(x):
                 # x += (a + a_prev/b_prev) d + (a_prev/b_prev) diag g_old
-                return x + (a + ratio) * d + ratio * (diag * g)
+                return wr(x, rd(x) + (a + ratio) * da + ratio * (diag_a * ga))
 
             def x_odd(x):
                 # complete through it on early exit (update_c epilogue)
-                return jax.lax.cond(will_stop, lambda x: x + a * d, lambda x: x, x)
+                return jax.lax.cond(
+                    will_stop, lambda x: wr(x, rd(x) + a * da), lambda x: x, x
+                )
 
             x = jax.lax.cond(it % 2 == 0, x_two_step, x_odd, x)
         else:
-            x = x + a * d  # update_a<true> (bp5/solver.h:74-104)
+            x = wr(x, rd(x) + a * da)  # update_a<true> (bp5/solver.h:74-104)
 
-        g_new = g + a * h
-        d_new = beta.astype(dt) * d - diag * g_new
+        ga_new = ga + a * ha
+        g_new = wr(g, ga_new)
+        d_new = wr(d, beta.astype(dt) * da - diag_a * ga_new)
 
         return {
             "x": x,

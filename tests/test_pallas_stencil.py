@@ -54,6 +54,7 @@ def test_full_cg_solve_in_padded_layout():
     matches the unpadded separable solve exactly (up to fp ordering)."""
     from deal_and_ceed_on_gpu_tpu import SolverControl, solve_cg_merged
     from deal_and_ceed_on_gpu_tpu.models import assemble_rhs
+    from deal_and_ceed_on_gpu_tpu.solvers import solve_cg as _solve_cg
 
     mesh = BrickMesh((3, 3, 3))
     space = FESpace.create(mesh, 2, rule="gauss_lobatto", dtype=jnp.float64)
@@ -79,3 +80,16 @@ def test_full_cg_solve_in_padded_layout():
     np.testing.assert_allclose(
         np.asarray(L.unpad_flat(xp)), np.asarray(x_ref), rtol=1e-9, atol=1e-12
     )
+
+    # active-region solves (updates + dots skip the dead z/y padding):
+    # same iterates up to summation order, padding still exactly zero
+    for solver in (solve_cg_merged, _solve_cg):
+        xa, info_a = solver(
+            op.vmult_padded, bp, control, active=L.active_spec()
+        )
+        assert abs(int(info_a["n_iterations"]) - int(info_ref["n_iterations"])) <= 1
+        xa3 = np.asarray(xa).reshape(L.padded_shape)
+        np.testing.assert_array_equal(xa3[dead], 0.0)
+        np.testing.assert_allclose(
+            np.asarray(L.unpad_flat(xa)), np.asarray(x_ref), rtol=1e-9, atol=1e-12
+        )
