@@ -43,6 +43,32 @@ def _tensor_weights(basis: Basis1D) -> np.ndarray:
     return w[:, None, None] * w[None, :, None] * w[None, None, :]
 
 
+def _det_inv_3x3(J: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Closed-form cofactor det + inverse of ``[..., 3, 3]`` batches.
+    numpy's ``linalg.det``/``inv`` gufuncs take tens of seconds on the
+    millions of tiny matrices a 1M-DoF mapped mesh produces (LAPACK per
+    matrix); the vectorized cofactor arithmetic is ~50x faster."""
+    a, b, c = J[..., 0, 0], J[..., 0, 1], J[..., 0, 2]
+    d, e, f = J[..., 1, 0], J[..., 1, 1], J[..., 1, 2]
+    g, h, i = J[..., 2, 0], J[..., 2, 1], J[..., 2, 2]
+    A = e * i - f * h
+    B = f * g - d * i
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    inv = np.empty_like(J)
+    inv[..., 0, 0] = A
+    inv[..., 1, 0] = B
+    inv[..., 2, 0] = C
+    inv[..., 0, 1] = c * h - b * i
+    inv[..., 1, 1] = a * i - c * g
+    inv[..., 2, 1] = b * g - a * h
+    inv[..., 0, 2] = b * f - c * e
+    inv[..., 1, 2] = c * d - a * f
+    inv[..., 2, 2] = a * e - b * d
+    inv /= det[..., None, None]
+    return det, inv
+
+
 @dataclasses.dataclass(frozen=True)
 class Geometry:
     """Metric terms for a mesh + quadrature rule.
@@ -144,31 +170,50 @@ class Geometry:
             for d in range(3)
         ]
         ax, ay, az = lines
-        X = np.zeros((mz, my, mx, p1, p1, p1, 3))  # local order (k,j,i)=(z,y,x)
-        X[..., 0] = ax[None, None, :, None, None, :]
-        X[..., 1] = ay[None, :, None, None, :, None]
-        X[..., 2] = az[:, None, None, :, None, None]
-        x = mesh.map_points(X)  # [..., 3] physical nodal coordinates
-
         S, D = basis.S, basis.D
-
-        def sweep(Mk, Mj, Mi):
-            t = np.einsum("...kjic,qi->...kjqc", x, Mi)
-            t = np.einsum("...kjqc,rj->...krqc", t, Mj)
-            return np.einsum("...krqc,sk->...srqc", t, Mk)  # [..., qz,qy,qx, 3]
-
         n_cells, n_q = mesh.n_cells, self.n_q
-        xq = sweep(S, S, S).reshape(n_cells, n_q, 3)
-        J = np.stack(
-            [sweep(S, S, D), sweep(S, D, S), sweep(D, S, S)], axis=-1
-        ).reshape(n_cells, n_q, 3, 3)
-        dets = np.linalg.det(J)
+
+        # Outputs preallocated once; the pipeline then runs in z-slabs of
+        # elements so every temporary stays small (well under glibc's
+        # 32 MB mmap threshold). Monolithic [n_cells, ...] temporaries
+        # trigger this box's slow fresh-mmap fault path and took ~90 s at
+        # 1M DoFs; the slab loop does the same FLOPs in a few seconds.
+        xq = np.empty((n_cells, n_q, 3))
+        J = np.empty((n_cells, n_q, 3, 3))
+        npe = my * mx  # elements per z-slab
+
+        def sweep(x, Mk, Mj, Mi):
+            t = np.einsum("ekjic,qi->ekjqc", x, Mi, optimize=True)
+            t = np.einsum("ekjqc,rj->ekrqc", t, Mj, optimize=True)
+            return np.einsum("ekrqc,sk->esrqc", t, Mk, optimize=True)
+
+        Jslab = np.empty((npe, n_q, 3, 3))
+        for ez in range(mz):
+            X = np.zeros((my, mx, p1, p1, p1, 3))  # local (k,j,i)=(z,y,x)
+            X[..., 0] = ax[None, :, None, None, :]
+            X[..., 1] = ay[:, None, None, :, None]
+            X[..., 2] = az[ez, None, None, :, None, None]
+            x = mesh.map_points(X).reshape(npe, p1, p1, p1, 3)
+            sl = slice(ez * npe, (ez + 1) * npe)
+            xq[sl] = sweep(x, S, S, S).reshape(npe, n_q, 3)
+            # assemble the slab contiguously, then one bulk copy (strided
+            # per-column writes into the big array hit the slow fault path)
+            Jslab[:, :, :, 0] = sweep(x, S, S, D).reshape(npe, n_q, 3)
+            Jslab[:, :, :, 1] = sweep(x, S, D, S).reshape(npe, n_q, 3)
+            Jslab[:, :, :, 2] = sweep(x, D, S, S).reshape(npe, n_q, 3)
+            J[sl] = Jslab
+
+        dets = np.empty((n_cells, n_q))
+        Jinv = np.empty((n_cells, n_q, 3, 3))
+        for ez in range(mz):
+            sl = slice(ez * npe, (ez + 1) * npe)
+            dets[sl], Jinv[sl] = _det_inv_3x3(J[sl])
         if not np.all(dets > 0):
             raise ValueError(
                 "mapped mesh: non-positive Jacobian determinant "
                 f"(min {dets.min():.3e}) — mapping folds the mesh"
             )
-        return xq, J, dets, np.linalg.inv(J)
+        return xq, J, dets, Jinv
 
     def jacobian_full(self, dtype=np.float64) -> np.ndarray:
         """``[n_cells, n_q, 3, 3]`` Jacobian ``d x / d xi`` per qpoint."""
@@ -205,18 +250,11 @@ class Geometry:
         ``C(q) = JxW(q) * J^{-1} J^{-T}``, symmetric order
         (xx,xy,xz,yy,yz,zz) — what ``JacobianFunctor`` writes
         (``bp5/step-64.cu:98-113``). Diagonal on axis-aligned cells; full on
-        mapped meshes."""
+        mapped meshes. The mapped table is cached (operator setup AND
+        diagonal/coarse assembly all consume it)."""
         w = self.w3d.reshape(-1)
         if self.mapped:
-            _, _, dets, Jinv = self._mapped_tables
-            G = np.einsum("eqrc,eqsc->eqrs", Jinv, Jinv)  # J^{-1} J^{-T}
-            jxw = dets * w[None, :]
-            coef = np.empty((self.mesh.n_cells, self.n_q, 6), dtype=dtype)
-            for plane, (r, s) in enumerate(
-                [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
-            ):
-                coef[:, :, plane] = jxw * G[:, :, r, s]
-            return coef
+            return self._merged_coef_mapped.astype(dtype, copy=False)
         md = self.merged_diag_per_cell()  # [E, 3]
         coef = np.zeros((self.mesh.n_cells, self.n_q, 6), dtype=dtype)
         coef[:, :, 0] = md[:, 0:1] * w[None, :]
@@ -224,11 +262,31 @@ class Geometry:
         coef[:, :, 5] = md[:, 2:3] * w[None, :]
         return coef
 
+    @cached_property
+    def _merged_coef_mapped(self) -> np.ndarray:
+        """f64 mapped merged-coefficient table, element-chunked so the
+        J^{-1}J^{-T} temporaries stay small (see _mapped_tables)."""
+        w = self.w3d.reshape(-1)
+        _, _, dets, Jinv = self._mapped_tables
+        n_cells = self.mesh.n_cells
+        coef = np.empty((n_cells, self.n_q, 6))
+        planes = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+        step = max(1, (4 << 20) // (self.n_q * 72))
+        for e0 in range(0, n_cells, step):
+            sl = slice(e0, min(e0 + step, n_cells))
+            G = np.matmul(Jinv[sl], np.swapaxes(Jinv[sl], -1, -2))
+            jxw = dets[sl] * w[None, :]
+            cs = np.empty((sl.stop - sl.start, self.n_q, 6))
+            for plane, (r, s) in enumerate(planes):
+                cs[:, :, plane] = jxw * G[:, :, r, s]
+            coef[sl] = cs
+        return coef
+
     def inv_jacobian_full(self, dtype=np.float64) -> np.ndarray:
         """``[n_cells, n_q, 3, 3]`` inverse Jacobian per qpoint."""
         if self.mapped:
             return self._mapped_tables[3].astype(dtype)
-        return np.linalg.inv(self.jacobian_full()).astype(dtype)
+        return _det_inv_3x3(self.jacobian_full())[1].astype(dtype)
 
     def q_points_phys(self) -> np.ndarray:
         """``[n_cells, n_q, 3]`` physical quadrature points, cell order

@@ -295,9 +295,11 @@ def tensor_product_diagonal(
     if value_q is not None:
         q = basis.n_q
         aq = value_q.reshape(n_cells, q, q, q)
-        t = np.einsum("ezyx,xi->ezyi", aq, w[:, None] * S2)
-        t = np.einsum("ezyi,yj->ezji", t, w[:, None] * S2)
-        local_e = local_e + det_e * np.einsum("ezji,zk->ekji", t, w[:, None] * S2)
+        t = np.einsum("ezyx,xi->ezyi", aq, w[:, None] * S2, optimize=True)
+        t = np.einsum("ezyi,yj->ezji", t, w[:, None] * S2, optimize=True)
+        local_e = local_e + det_e * np.einsum(
+            "ezji,zk->ekji", t, w[:, None] * S2, optimize=True
+        )
 
     return _scatter_local_diagonal(space, local_e)
 
@@ -329,12 +331,17 @@ def _general_local_diagonal(
     local_e = np.zeros((n_cells, V.shape[0]))
     if gradient:
         C = geo.merged_coef_full()  # [E, n_q, 6]
+        # one GEMM: fold the six planes' basis products into a small
+        # [n_q*6, n_dofs] table so the element dimension is a single
+        # contiguous matmul (per-plane strided einsums over C paid ~20 s
+        # at 1M DoFs on the slow-allocation dev box)
+        n_q = C.shape[1]
+        T = np.empty((n_q, 6, V.shape[0]))
         planes = [(0, 0, 0), (1, 0, 1), (2, 0, 2), (3, 1, 1), (4, 1, 2), (5, 2, 2)]
         for plane, r, s in planes:
             f = 1.0 if r == s else 2.0
-            local_e += f * np.einsum(
-                "aq,aq,eq->ea", G[r], G[s], C[:, :, plane], optimize=True
-            )
+            T[:, plane, :] = f * (G[r] * G[s]).T
+        local_e += C.reshape(n_cells, n_q * 6) @ T.reshape(n_q * 6, -1)
     if value_const is not None or value_q is not None:
         jxw = geo.jxw_full()  # [E, n_q]
         if value_q is not None:
