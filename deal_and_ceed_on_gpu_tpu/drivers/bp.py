@@ -108,6 +108,9 @@ def main():
     ap.add_argument("--repetitions", type=int, default=3)
     ap.add_argument("--dtype", default="float32")
     args = ap.parse_args()
+    from ..utils import ensure_x64
+
+    ensure_x64(args.dtype)
     run_sweep(
         args.bp,
         range(args.p_min, args.p_max + 1),

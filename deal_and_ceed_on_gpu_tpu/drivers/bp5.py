@@ -452,6 +452,9 @@ def main():
         "high=bf16x3 ~2.6e-6 rel.err, default=bf16 ~8e-4 — benchmark-only)",
     )
     args = ap.parse_args()
+    from ..utils import ensure_x64
+
+    ensure_x64(args.dtype)
     cfg = BP5Config(
         degree=args.degree,
         n_iterations=args.iterations,

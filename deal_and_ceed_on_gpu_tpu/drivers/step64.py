@@ -109,6 +109,9 @@ def main():
         help="none = reference DiagonalMatrix(1.0); jacobi/fdm/mg = extras",
     )
     args = ap.parse_args()
+    from ..utils import ensure_x64
+
+    ensure_x64(args.dtype)
     for use_merged in (False, True):
         if use_merged and args.precond in ("fdm", "mg"):
             continue  # merged CG is diagonal-preconditioner-only

@@ -204,6 +204,9 @@ class HelmholtzOperator(MatrixFreeOperator):
             self.space, gradient=True, value_q=self._a_q_raw
         )
 
+    def weak_form(self):
+        return True, self._a_q_raw, None
+
     def shard_table_names(self):
         """The value coefficient a(x_q)*JxW depends on the block's physical
         position (reference ``VaryingCoefficientFunctor``,

@@ -58,6 +58,9 @@ class MassOperator(MatrixFreeOperator):
 
         return tensor_product_diagonal(self.space, value_const=1.0)
 
+    def weak_form(self):
+        return False, None, 1.0
+
     def shard_table_names(self):
         """JxW is position-dependent on graded/mapped meshes."""
         if self.backend != "separable" and not self.space.geometry.uniform:

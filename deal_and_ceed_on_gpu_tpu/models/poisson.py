@@ -138,6 +138,9 @@ class PoissonOperator(MatrixFreeOperator):
 
         return tensor_product_diagonal(self.space, gradient=True)
 
+    def weak_form(self):
+        return True, None, None
+
     def shard_table_names(self):
         """The 6-plane merged coefficient is position-dependent on
         graded/mapped meshes (uniform bricks use trace-time scalars)."""

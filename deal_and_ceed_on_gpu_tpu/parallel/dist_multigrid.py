@@ -52,7 +52,7 @@ from ..ops.sum_factorization import sweep
 from ..solvers.cg import solve_cg
 from ..solvers.control import SolverControl
 from ..solvers.multigrid import (
-    _chebyshev_bounds,
+    bounds_from_dense,
     chebyshev_smooth,
     coarsen_mesh,
     prolongation_1d,
@@ -145,11 +145,12 @@ class DistMultigrid:
             for pl in parts[:-1]
         ]
 
-        # per-level GLOBAL operator: Jacobi blocks + Chebyshev bounds
-        # (same spectrum as the distributed one), and the coarse matrix
+        # per-level GLOBAL operator: Jacobi blocks (same spectrum as the
+        # distributed one), the dense coarse matrix, and the Chebyshev
+        # bounds from one host estimate on it (see
+        # solvers.multigrid.bounds_from_dense)
         gbackend = "structured" if part.mesh.is_mapped else backend
         self._dinv_blocks = []
-        self.bounds = []
         gops = []
         for pl in parts:
             gspace = FESpace.create(pl.mesh, pl.degree, n_q=n_q, rule=rule, dtype=dtype)
@@ -160,15 +161,16 @@ class DistMultigrid:
             blocks = pl.to_blocks(np.asarray(jac).reshape(gspace.grid_shape))
             blocks[blocks == 0.0] = 1.0  # identity on dead padding
             self._dinv_blocks.append(jnp.asarray(blocks, dtype=dtype))
-            self.bounds.append(
-                _chebyshev_bounds(gop.vmult, jac, gspace, smoothing_range)
-            )
 
-        # dense coarse inverse (operator-generic, f64 factorization)
-        cspace, cop = gops[-1]
-        eye = jnp.eye(cspace.n_dofs, dtype=dtype)
-        A_c = np.asarray(jax.vmap(cop.vmult)(eye), dtype=np.float64).T
+        # dense coarse matrix, assembled on the host (operator-generic
+        # via weak_form; f64 factorization)
+        from ..models.operator_base import assemble_dense
+
+        A_c = assemble_dense(gops[-1][1])
         self._coarse_inv = jnp.asarray(np.linalg.inv(A_c), dtype=dtype)
+        self.bounds = [bounds_from_dense(A_c, smoothing_range)] * (
+            len(parts) - 1
+        )
 
         # Per-level-pair 1D prolongation tables: per-SHARD stacks along the
         # partitioned z/y axes (graded meshes split each coarse cell at

@@ -20,14 +20,16 @@ TPU-native structure:
   transpose sweeps (R = P^T), which keeps the V-cycle symmetric.
 - **Smoother**: Chebyshev polynomial in the Jacobi-preconditioned
   operator (true ``compute_diagonal``), the standard matrix-free choice
-  (deal.II ``PreconditionChebyshev``); eigenvalue bound from a device
-  power iteration at setup. Chebyshev is a FIXED polynomial, so the
-  whole V-cycle is a linear symmetric operator — legal inside plain CG
-  (no flexible variant needed).
-- **Coarse solve**: the coarsest constrained operator is materialized by
-  one vmapped vmult over identity columns (operator-generic — no
-  assembly path needed) and inverted densely in f64 at setup; the
-  in-cycle coarse solve is a single tiny matmul.
+  (deal.II ``PreconditionChebyshev``); the eigenvalue bound comes from a
+  host power iteration on the coarsest level's dense matrix (cheap,
+  level-independent to <1.5% measured — see :func:`bounds_from_dense`).
+  Chebyshev is a FIXED polynomial, so the whole V-cycle is a linear
+  symmetric operator — legal inside plain CG (no flexible variant
+  needed).
+- **Coarse solve**: the coarsest constrained operator is assembled
+  densely ON THE HOST from the geometry tables (operator-generic via
+  ``weak_form()``, ``models.operator_base.assemble_dense``) and inverted
+  in f64 at setup; the in-cycle coarse solve is a single tiny matmul.
 
 The V-cycle is a pure jittable function; levels unroll at trace time (the
 hierarchy depth is a Python constant, like the reference's template
@@ -48,14 +50,26 @@ from ..fe_space import FESpace
 from ..mesh import BrickMesh
 from ..ops.sum_factorization import sweep
 
-__all__ = ["Multigrid", "coarsen_mesh", "prolongation_1d", "chebyshev_smooth"]
+__all__ = [
+    "Multigrid",
+    "coarsen_mesh",
+    "prolongation_1d",
+    "chebyshev_smooth",
+    "bounds_from_dense",
+]
 
 
 def chebyshev_smooth(vmult, dinv, bounds, degree, r, z0=None):
     """``degree`` steps of Chebyshev iteration on ``A z = r`` (initial
     guess z0), the fixed polynomial in the Jacobi-preconditioned operator
     — shared by the single-device and distributed V-cycles. ``dinv`` may
-    be a vector or any broadcastable array."""
+    be a vector or any broadcastable array.
+
+    The degree loop is a ``lax.fori_loop`` (the rho recurrence rides in
+    the carry), so the traced graph contains ONE ``vmult`` per smooth
+    regardless of degree — V-cycle XLA compile time scales with the
+    number of inlined fine-level vmult subgraphs, which dominates MG-CG
+    cold time at 1M DoFs on the tunneled dev chip."""
     lam_min, lam_max = bounds
     theta = 0.5 * (lam_max + lam_min)
     delta = 0.5 * (lam_max - lam_min)
@@ -64,12 +78,18 @@ def chebyshev_smooth(vmult, dinv, bounds, degree, r, z0=None):
     res = r if z0 is None else r - vmult(z0)
     d = (1.0 / theta) * (dinv * res)
     z = d if z0 is None else z0 + d
-    rho_old = 1.0 / sigma
-    for _ in range(1, degree):
+    if degree <= 1:
+        return z
+
+    def body(_, carry):
+        z, d, rho_old = carry
         rho = 1.0 / (2.0 * sigma - rho_old)
         d = (rho * rho_old) * d + (2.0 * rho / delta) * (dinv * (r - vmult(z)))
-        z = z + d
-        rho_old = rho
+        return z + d, d, rho
+
+    z, d, _ = jax.lax.fori_loop(
+        1, degree, body, (z, d, jnp.asarray(1.0 / sigma, dtype=r.dtype))
+    )
     return z
 
 
@@ -114,23 +134,56 @@ def _chebyshev_bounds(vmult, dinv, space, smoothing_range, n_power=12):
     on D^-1 A over the constrained-zero subspace, with the deal.II-style
     1.2x safety factor and lambda_min = lambda_max / smoothing_range.
 
-    Runs EAGERLY (op-by-op, no jit): this is a one-shot setup estimate, and
-    a jitted fori_loop here costs a throwaway XLA compile of the full vmult
-    per level (~48 s at 1M DoFs on a mapped mesh, the dominant r2 MG setup
-    cost) to save milliseconds of device time."""
+    One jitted ``fori_loop`` per level (the ``bounds="per-level"`` mode;
+    the default setup path estimates once on the coarsest level's dense
+    matrix instead, see :func:`bounds_from_dense`, avoiding the per-level
+    vmult compile entirely)."""
     u0 = jnp.asarray(
         np.random.default_rng(42).standard_normal(space.n_dofs),
         dtype=space.dtype,
     )
-    u = space.zero_constrained_values(u0)
-    u = u / jnp.linalg.norm(u)
+    mask = space.dirichlet_mask
+
+    @jax.jit
+    def power(u):
+        u = jnp.where(mask, 0.0, u)
+        u = u / jnp.linalg.norm(u)
+
+        def step(_, carry):
+            u, _ = carry
+            v = jnp.where(mask, 0.0, dinv * vmult(u))
+            lam = jnp.linalg.norm(v)
+            return v / lam, lam
+
+        return jax.lax.fori_loop(
+            0, n_power, step, (u, jnp.asarray(1.0, dtype=u.dtype))
+        )[1]
+
+    lam_max = 1.2 * float(power(u0))
+    return lam_max / smoothing_range, lam_max
+
+
+def bounds_from_dense(A: np.ndarray, smoothing_range: float, safety: float = 1.35):
+    """Chebyshev bounds from a host power iteration on the dense
+    Jacobi-preconditioned matrix ``D^-1 A`` (the multigrid COARSEST level).
+
+    lambda_max(D^-1 A) of a Jacobi-preconditioned 2nd-order FEM operator is
+    governed by element-local properties, not the mesh size — measured
+    across the sine-mapped hierarchy levels it drifts < 1.5% (2.504 at 15k
+    DoFs vs 2.534 at 912k) — so one coarse-level estimate serves every
+    level. ``safety`` (1.35 vs deal.II's 1.2 on same-level estimates)
+    covers the cross-level drift; an overestimate only softens the
+    smoother, an underestimate would amplify high modes."""
+    d = np.diag(A).copy()
+    rng = np.random.default_rng(42)
+    u = rng.standard_normal(A.shape[0])
+    u /= np.linalg.norm(u)
     lam = 1.0
-    for _ in range(n_power):
-        v = dinv * vmult(u)
-        v = space.zero_constrained_values(v)
-        lam = float(jnp.linalg.norm(v))
+    for _ in range(50):
+        v = (A @ u) / d
+        lam = np.linalg.norm(v)
         u = v / lam
-    lam_max = 1.2 * lam
+    lam_max = safety * lam
     return lam_max / smoothing_range, lam_max
 
 
@@ -142,6 +195,12 @@ class Multigrid:
     make_op: ``FESpace -> operator`` with ``vmult`` + ``compute_diagonal``
     (any MatrixFreeOperator). Default: Poisson on the level-appropriate
     fast backend.
+
+    bounds: Chebyshev eigenvalue bounds — ``"coarse"`` (default: one host
+    estimate on the coarsest dense matrix, shared by all levels),
+    ``"per-level"`` (jitted device power iteration per level — costs one
+    XLA vmult compile per level; for meshes whose coarse levels
+    misrepresent the fine spectrum), or an explicit ``(lo, hi)`` tuple.
     """
 
     def __init__(
@@ -152,6 +211,7 @@ class Multigrid:
         smoothing_range: float = 20.0,
         coarse_max_dofs: int = 4000,
         fine_op=None,
+        bounds="coarse",
     ):
         """``fine_op``: the already-constructed finest-level operator (the
         one the driver solves with). Passing it skips rebuilding the level-0
@@ -202,13 +262,31 @@ class Multigrid:
         else:
             self.ops.insert(0, make_op(space))
 
+        # ---------------- dense coarse matrix (host) ---------------- #
+        # one batched host GEMM per plane; also yields the Chebyshev
+        # eigenvalue estimate for free (was: ~95 s of vmapped-vmult
+        # materialization + ~9 min of per-level eager power iterations
+        # through the tunneled dev chip)
+        from ..models.operator_base import assemble_dense
+
+        A_c = assemble_dense(self.ops[-1])
+        self._coarse_inv = jnp.asarray(
+            np.linalg.inv(A_c), dtype=spaces[-1].dtype
+        )
+
         # per-level Jacobi diagonals + Chebyshev bounds (coarsest level
         # uses the dense inverse — no smoother there)
         self.dinv = [op.jacobi_preconditioner() for op in self.ops[:-1]]
-        self.bounds = [
-            _chebyshev_bounds(op.vmult, dinv, s, smoothing_range)
-            for op, dinv, s in zip(self.ops[:-1], self.dinv, spaces[:-1])
-        ]
+        if bounds == "coarse":
+            b = bounds_from_dense(A_c, smoothing_range)
+            self.bounds = [b] * (len(self.ops) - 1)
+        elif bounds == "per-level":
+            self.bounds = [
+                _chebyshev_bounds(op.vmult, dinv, s, smoothing_range)
+                for op, dinv, s in zip(self.ops[:-1], self.dinv, spaces[:-1])
+            ]
+        else:  # explicit (lam_min, lam_max)
+            self.bounds = [tuple(bounds)] * (len(self.ops) - 1)
 
         # per-level-pair 1D prolongation tables (coarse -> fine), in the
         # sweep convention mat[out, in]
@@ -225,12 +303,6 @@ class Multigrid:
             # grid axes are (z, y, x) = mesh axes (2, 1, 0)
             self.prolong_mats.append((mats[2], mats[1], mats[0]))
 
-        # ---------------- dense coarse inverse ---------------- #
-        cs = spaces[-1]
-        eye = jnp.eye(cs.n_dofs, dtype=cs.dtype)
-        cols = jax.vmap(self.ops[-1].vmult)(eye)  # rows i = A e_i => A^T
-        A_c = np.asarray(cols, dtype=np.float64).T
-        self._coarse_inv = jnp.asarray(np.linalg.inv(A_c), dtype=cs.dtype)
 
     @property
     def n_levels(self) -> int:

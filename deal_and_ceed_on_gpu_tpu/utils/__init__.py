@@ -11,7 +11,24 @@ __all__ = [
     "pcout0",
     "rank0_print",
     "Timer",
+    "ensure_x64",
+    "enable_compilation_cache",
 ]
+
+
+def ensure_x64(dtype) -> None:
+    """Enable ``jax_enable_x64`` when ``dtype`` is a 64-bit type.
+
+    Driver CLIs take ``--dtype float64``; without this, JAX silently
+    truncates every f64 array to f32 (the axon TPU plugin ignores the
+    ``JAX_ENABLE_X64`` env var, so the config update is the only reliable
+    switch) — the step-64 golden fingerprint (60 iterations, L2
+    0.0205268514) is an f64 result and quietly degrades to 64 its
+    otherwise."""
+    import jax
+
+    if "64" in str(dtype):
+        jax.config.update("jax_enable_x64", True)
 
 
 def enable_compilation_cache(path: str = "~/.cache/deal_and_ceed_tpu_jax"):
