@@ -27,7 +27,10 @@ from deal_and_ceed_on_gpu_tpu.models import PoissonOperator
 
 CYCLE = 33  # ~12.5M DoFs at p=5 (bp5 sweep logic)
 DEGREE = 5
-N_APPLIES = 50
+# 300 applies per chain: the tunneled dev chip adds ~30 ms dispatch
+# latency per jitted call, which eats ~33% of a 50-apply chain at
+# 10 GDoF/s; 300 applies (~370 ms of device work) amortize it to ~8%
+N_APPLIES = 300
 N_REPS = 5
 DTYPE = "float32"
 BASELINE_GDOFS = 1.0  # BASELINE.json north-star: >= 1 GDoF/s/chip
@@ -57,7 +60,7 @@ def measure(space, backend, pallas_opts=None):
     # ---- pcg-merged throughput (before fold_scale rescales the op) ----
     from deal_and_ceed_on_gpu_tpu import IterationNumberControl, solve_cg_merged
 
-    n_it = 50
+    n_it = 150  # long enough that the ~30 ms dispatch floor is <7%
     control = IterationNumberControl(n_it, 0.0)
     solver = jax.jit(lambda b: solve_cg_merged(vm, b, control, active=active)[0])
     jax.block_until_ready(solver(u))

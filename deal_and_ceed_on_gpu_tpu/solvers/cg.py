@@ -15,6 +15,7 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
+from ._dispatch import dispatch
 from .control import SolverControl
 
 __all__ = ["solve_cg"]
@@ -36,7 +37,14 @@ def solve_cg(
     Returns ``(x, info)`` with ``info = {"n_iterations", "res_norm"}`` (both
     device scalars). ``diag`` is multiplied like the reference's
     ``DiagonalMatrix`` (both drivers fill it with 1.0,
-    ``bp5/step-64.cu:428-432``).
+    ``bp5/step-64.cu:428-432``); it may also be a CALLABLE preconditioner
+    (FDM inverse, multigrid V-cycle).
+
+    Eager calls are routed through a per-(A, control, diag) jit cache
+    (``solvers._dispatch``): repeated solves with the same operator and
+    preconditioner objects reuse one compiled executable instead of
+    re-tracing the while_loop every call. Inside an existing trace the
+    solve inlines unchanged.
 
     Distributed use (inside ``shard_map``): pass ``dot_weight`` to zero out
     ghost-duplicated entries and ``psum_axis`` to all-reduce the scalars over
@@ -46,6 +54,31 @@ def solve_cg(
     updates and dots to the real sub-box of a kernel-owned padded layout
     (see ``solve_cg_merged``); requires a vector ``diag`` (or None), not a
     callable preconditioner."""
+    return dispatch(
+        _solve_cg,
+        A,
+        b,
+        control,
+        diag,
+        x0,
+        dot_dtype,
+        dot_weight,
+        psum_axis,
+        active,
+    )
+
+
+def _solve_cg(
+    A,
+    b,
+    control,
+    diag=None,
+    x0=None,
+    dot_dtype=None,
+    dot_weight=None,
+    psum_axis=None,
+    active=None,
+):
     dt = b.dtype
     dd = dot_dtype or dt
 

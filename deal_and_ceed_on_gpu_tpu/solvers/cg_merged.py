@@ -50,6 +50,7 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
+from ._dispatch import dispatch
 from .control import SolverControl
 
 __all__ = ["solve_cg_merged"]
@@ -68,8 +69,9 @@ def solve_cg_merged(
     active=None,
 ):
     """Solve A x = b. Returns ``(x, info)``; see ``solve_cg`` for the diag
-    convention and the distributed ``dot_weight``/``psum_axis`` knobs. The
-    whole solve is one jittable expression.
+    convention, the distributed ``dot_weight``/``psum_axis`` knobs, and the
+    eager-call jit cache (``solvers._dispatch``) both entry points share.
+    The whole solve is one jittable expression.
 
     ``active``: optional ``(shape3, (sl_z, sl_y, sl_x))`` — e.g.
     ``StencilLayout.active_spec()`` — restricting every elementwise CG
@@ -83,6 +85,33 @@ def solve_cg_merged(
     in the loop body, which more than eats the traffic saving
     (scripts/exp_active_cg.py: 4.09 full / 2.66 sliced GDoF/s at cycle
     33) — measure before enabling."""
+    return dispatch(
+        _solve_cg_merged,
+        A,
+        b,
+        control,
+        diag,
+        x0,
+        dot_dtype,
+        dot_weight,
+        psum_axis,
+        active,
+        deferred_x_update=deferred_x_update,
+    )
+
+
+def _solve_cg_merged(
+    A,
+    b,
+    control,
+    diag=None,
+    x0=None,
+    dot_dtype=None,
+    dot_weight=None,
+    psum_axis=None,
+    active=None,
+    deferred_x_update=False,
+):
     dt = b.dtype
     dd = dot_dtype or dt
 
