@@ -103,9 +103,9 @@ def main():
         ("separable", None),
     ]
     # first candidate that works wins (the list is fastest-first)
-    for backend, opts in candidates:
+    for i, (backend, opts) in enumerate(candidates):
         try:
-            (best, best_cg), used = measure(space, backend, opts), backend
+            (best, best_cg), used, fell_back = measure(space, backend, opts), backend, i > 0
             break
         except Exception:
             traceback.print_exc(file=sys.stderr)
@@ -113,20 +113,22 @@ def main():
         raise SystemExit("all benchmark backends failed")
 
     gdofs = best / 1e9
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"BP5 vmult throughput (p={DEGREE}, {space.n_dofs} DoFs, "
-                    f"{DTYPE}, {used})"
-                ),
-                "value": round(gdofs, 4),
-                "unit": "GDoF/s/chip",
-                "vs_baseline": round(gdofs / BASELINE_GDOFS, 4),
-                "pcg_merged_gdofs": round(best_cg / 1e9, 4),
-            }
-        )
-    )
+    record = {
+        "metric": (
+            f"BP5 vmult throughput (p={DEGREE}, {space.n_dofs} DoFs, "
+            f"{DTYPE}, {used})"
+        ),
+        "value": round(gdofs, 4),
+        "unit": "GDoF/s/chip",
+        "vs_baseline": round(gdofs / BASELINE_GDOFS, 4),
+        "pcg_merged_gdofs": round(best_cg / 1e9, 4),
+    }
+    if fell_back:
+        # a Mosaic compile flake downgraded the run — the number is real
+        # but NOT the tuned-pallas headline path; flag it so a silent
+        # kernel regression can't hide behind a healthy-looking fallback
+        record["fallback"] = used
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

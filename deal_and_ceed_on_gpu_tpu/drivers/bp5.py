@@ -308,7 +308,14 @@ def run_cycle_distributed(
     dtype = jnp.dtype(cfg.dtype)
     space = FESpace.create(mesh, cfg.degree, rule=cfg.rule, dtype=dtype)
     part = BlockPartition(mesh, cfg.degree, pz=pz, py=py, px=px)
-    dist_op = DistOperator(part, PoissonOperator, dtype=dtype, backend=cfg.backend)
+    dist_kwargs = (
+        {"pallas_opts": cfg.pallas_opts}
+        if cfg.backend == "pallas_general" and cfg.pallas_opts
+        else {}
+    )
+    dist_op = DistOperator(
+        part, PoissonOperator, dtype=dtype, backend=cfg.backend, **dist_kwargs
+    )
     pcout(f"Cycle {cycle} on {pz}x{py}x{px} shards")
     pcout(f"   Number of active cells:       {mesh.n_cells}")
     pcout(f"   Number of degrees of freedom: {space.n_dofs}")

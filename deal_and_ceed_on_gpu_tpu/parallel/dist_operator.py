@@ -89,11 +89,22 @@ class DistOperator:
         n_components: int = 1,
         **op_kwargs,
     ):
-        if backend not in ("separable", "structured", "gather"):
+        if backend not in ("separable", "structured", "gather", "pallas_general"):
             raise ValueError(
                 f"distributed backend {backend!r} unsupported: the per-shard "
                 "apply must be a plain cell loop (separable/structured/"
-                "gather); the pallas kernel owns its own padded layout"
+                "gather/pallas_general); the fused stencil kernel owns its "
+                "own padded layout (parallel/dist_pallas.py)"
+            )
+        if backend == "pallas_general" and not part.mesh.is_uniform:
+            # the general kernel streams per-element coefficient tables in
+            # its own [K, E, Q] layout; per-shard slicing of those tables
+            # is not wired up — graded/mapped distributed runs take the
+            # structured backend's sliced global tables instead
+            raise ValueError(
+                "distributed pallas_general supports uniform global meshes "
+                "(const-coefficient path); use backend='structured' for "
+                "graded/mapped meshes"
             )
         self.part = part
         self.n_components = n_components
@@ -106,6 +117,7 @@ class DistOperator:
         # per-shard band matrices are assembled from local elements only, so
         # interior planes are complete and exactly the shared planes carry
         # cross-shard partials (combined in halo_combine).
+        self.backend = backend
         self._local_op = op_cls(self.space, backend=backend, **op_kwargs)
         reason = getattr(self._local_op, "_dist_unsupported", None)
         if reason:

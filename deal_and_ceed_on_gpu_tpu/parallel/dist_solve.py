@@ -52,6 +52,13 @@ def make_device_mesh(
     return Mesh(devs.reshape(pz, py), (axis_z, axis_y))
 
 
+def _vma_ok(dist_op: DistOperator) -> bool:
+    """shard_map's varying-mesh-axes check: on for the plain XLA backends,
+    off for pallas_general (``pallas_call`` outputs carry no vma
+    annotation — same exemption as parallel/dist_pallas.py)."""
+    return getattr(dist_op, "backend", None) != "pallas_general"
+
+
 def _axes(part) -> tuple:
     """The partitioned device-mesh axis names (2D or 3D)."""
     if getattr(part, "px", 1) > 1:
@@ -126,6 +133,7 @@ def make_dist_solver(
                 mesh=mesh,
                 in_specs=(grid_spec, grid_spec) + _table_specs(dist_op),
                 out_specs=(grid_spec, P(), P(), P()),
+                check_vma=_vma_ok(dist_op),
             )
         )
 
@@ -140,6 +148,7 @@ def make_dist_solver(
                 mesh=mesh,
                 in_specs=(grid_spec,) + _table_specs(dist_op),
                 out_specs=(grid_spec, P(), P(), P()),
+                check_vma=_vma_ok(dist_op),
             )
         )
 
@@ -165,6 +174,7 @@ def make_dist_vmult(dist_op: DistOperator, mesh: Optional[Mesh] = None):
         mesh=mesh,
         in_specs=(grid_spec,) + _table_specs(dist_op),
         out_specs=grid_spec,
+        check_vma=_vma_ok(dist_op),
     )
     fn = jax.jit(lambda u: shmapped(u, *dist_op.shard_tables))
     dist_op._solver_cache[key] = fn
