@@ -20,6 +20,12 @@ Layer map (mirrors SURVEY.md section 1):
   L4  drivers / benchmarks  -> drivers/ (bp5, step64), bench.py
 """
 
+from .utils.host_memory import tune_host_allocator as _tune_host_allocator
+
+# large-buffer reuse on slow-fault virtualized hosts (see the module
+# docstring); must run before the big numpy/host tables are built
+_tune_host_allocator()
+
 from .basis import Basis1D, gauss_lobatto_points, gauss_points
 from .mesh import BrickMesh, MappedMesh, shear_map, sine_map
 from .geometry import Geometry

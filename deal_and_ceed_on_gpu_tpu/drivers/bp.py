@@ -37,11 +37,14 @@ def run_sweep(
     n_repetitions: int = 3,
     dtype: str = "float32",
     modes=("pcg-merged", "vmult"),
+    backend: str | None = None,
 ):
     results = {}
     for p in degrees:
         mesh = _target_mesh(p, target_dofs)
-        space, op = make_bp_operator(bp, mesh, p, dtype=jnp.dtype(dtype))
+        space, op = make_bp_operator(
+            bp, mesh, p, dtype=jnp.dtype(dtype), backend=backend
+        )
         n = space.n_dofs
         n_comp = getattr(op, "n_components", 1)
         pcout(f"{bp} p={p}: {mesh.n_cells} cells, {n} DoFs x {n_comp} comp")
@@ -107,6 +110,13 @@ def main():
     ap.add_argument("--iterations", type=int, default=100)
     ap.add_argument("--repetitions", type=int, default=3)
     ap.add_argument("--dtype", default="float32")
+    ap.add_argument(
+        "--backend",
+        default=None,
+        help="operator backend (default: the fast separable path); "
+        "pallas_general is the fused MXU kernel for the Gauss-rule BPs "
+        "(BP1/BP3, ~3x structured at p=5 q=p+2 — RESULTS.md)",
+    )
     args = ap.parse_args()
     from ..utils import ensure_x64
 
@@ -118,6 +128,7 @@ def main():
         args.iterations,
         args.repetitions,
         args.dtype,
+        backend=args.backend,
     )
 
 

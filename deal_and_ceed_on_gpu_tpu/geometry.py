@@ -151,35 +151,27 @@ class Geometry:
     # ---------------------------------------------------------------- #
     # mapped (deformed) meshes: isoparametric Jacobian tables
     # ---------------------------------------------------------------- #
-    @cached_property
-    def _mapped_tables(self):
-        """(x_q ``[E, n_q, 3]``, J ``[E, n_q, 3, 3]``, det ``[E, n_q]``,
-        J^{-1} ``[E, n_q, 3, 3]``) for a mapped mesh: physical quadrature
-        points and Jacobians ``J[c, r] = d x_c / d xi_r`` (xi = the
-        element's unit reference coordinate) of the degree-p isoparametric
-        interpolant of the deformation. Dets/inverses are computed once
-        here and reused by every table builder."""
+    def _iter_jacobian_slabs(self):
+        """Yield ``(sl, xq_slab, J_slab)`` per z-slab of elements: the
+        degree-p isoparametric physical qpoints and Jacobians
+        ``J[c, r] = d x_c / d xi_r`` (xi = the element's unit reference
+        coordinate). Both yielded arrays are REUSED buffers — consumers
+        copy what they keep. Slab streaming is the point: this box's
+        fresh-page fault path (VMM userfaultfd) services first touches at
+        ~25-90 MB/s, so materialized bytes — not FLOPs — dominate mapped
+        setup; every temporary here stays slab-sized and warm."""
         mesh, basis = self.mesh, self.basis
-        p1, q1 = basis.n_dofs, basis.n_q
+        p1 = basis.n_dofs
         mx, my, mz = mesh.n_elements
         edges = mesh.edges_1d()
         haxes = mesh.h_axes()
         # per-axis nodal brick coordinates per element: [m_d, p1]
-        lines = [
+        ax, ay, az = [
             edges[d][:-1, None] + haxes[d][:, None] * basis.nodes[None, :]
             for d in range(3)
         ]
-        ax, ay, az = lines
         S, D = basis.S, basis.D
-        n_cells, n_q = mesh.n_cells, self.n_q
-
-        # Outputs preallocated once; the pipeline then runs in z-slabs of
-        # elements so every temporary stays small (well under glibc's
-        # 32 MB mmap threshold). Monolithic [n_cells, ...] temporaries
-        # trigger this box's slow fresh-mmap fault path and took ~90 s at
-        # 1M DoFs; the slab loop does the same FLOPs in a few seconds.
-        xq = np.empty((n_cells, n_q, 3))
-        J = np.empty((n_cells, n_q, 3, 3))
+        n_q = self.n_q
         npe = my * mx  # elements per z-slab
 
         def sweep(x, Mk, Mj, Mi):
@@ -188,31 +180,70 @@ class Geometry:
             return np.einsum("ekrqc,sk->esrqc", t, Mk, optimize=True)
 
         Jslab = np.empty((npe, n_q, 3, 3))
+        X = np.zeros((my, mx, p1, p1, p1, 3))  # local (k,j,i)=(z,y,x)
+        X[..., 0] = ax[None, :, None, None, :]
+        X[..., 1] = ay[:, None, None, :, None]
         for ez in range(mz):
-            X = np.zeros((my, mx, p1, p1, p1, 3))  # local (k,j,i)=(z,y,x)
-            X[..., 0] = ax[None, :, None, None, :]
-            X[..., 1] = ay[:, None, None, :, None]
             X[..., 2] = az[ez, None, None, :, None, None]
             x = mesh.map_points(X).reshape(npe, p1, p1, p1, 3)
-            sl = slice(ez * npe, (ez + 1) * npe)
-            xq[sl] = sweep(x, S, S, S).reshape(npe, n_q, 3)
+            xq_slab = sweep(x, S, S, S).reshape(npe, n_q, 3)
             # assemble the slab contiguously, then one bulk copy (strided
-            # per-column writes into the big array hit the slow fault path)
+            # per-column writes into big arrays hit the slow fault path)
             Jslab[:, :, :, 0] = sweep(x, S, S, D).reshape(npe, n_q, 3)
             Jslab[:, :, :, 1] = sweep(x, S, D, S).reshape(npe, n_q, 3)
             Jslab[:, :, :, 2] = sweep(x, D, S, S).reshape(npe, n_q, 3)
-            J[sl] = Jslab
+            yield slice(ez * npe, (ez + 1) * npe), xq_slab, Jslab
 
+    @cached_property
+    def _mapped_core(self):
+        """(x_q ``[E, n_q, 3]``, det ``[E, n_q]``, coef ``[E, n_q, 6]``)
+        for a mapped mesh — the three tables every operator/RHS/diagonal
+        consumer actually needs, in ONE slab-streamed pass. The full
+        ``[E, n_q, 3, 3]`` J / J^{-1} tensors are deliberately NOT
+        materialized here (302 MB of first-touch at 1M DoFs on the slow
+        fault path — see :meth:`_iter_jacobian_slabs`); the rare full-
+        tensor consumers go through :attr:`_mapped_tables`."""
+        n_cells, n_q = self.mesh.n_cells, self.n_q
+        w = self.w3d.reshape(-1)
+        xq = np.empty((n_cells, n_q, 3))
         dets = np.empty((n_cells, n_q))
-        Jinv = np.empty((n_cells, n_q, 3, 3))
-        for ez in range(mz):
-            sl = slice(ez * npe, (ez + 1) * npe)
-            dets[sl], Jinv[sl] = _det_inv_3x3(J[sl])
-        if not np.all(dets > 0):
+        coef = np.empty((n_cells, n_q, 6))
+        planes = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+        cslab = None
+        min_det = np.inf
+        for sl, xq_slab, Jslab in self._iter_jacobian_slabs():
+            xq[sl] = xq_slab
+            det_s, Jinv_s = _det_inv_3x3(Jslab)
+            min_det = min(min_det, float(det_s.min()))
+            dets[sl] = det_s
+            G = np.matmul(Jinv_s, np.swapaxes(Jinv_s, -1, -2))
+            jxw = det_s * w[None, :]
+            if cslab is None:
+                cslab = np.empty((Jslab.shape[0], n_q, 6))
+            for plane, (r, s) in enumerate(planes):
+                cslab[:, :, plane] = jxw * G[:, :, r, s]
+            coef[sl] = cslab
+        if min_det <= 0:
             raise ValueError(
                 "mapped mesh: non-positive Jacobian determinant "
-                f"(min {dets.min():.3e}) — mapping folds the mesh"
+                f"(min {min_det:.3e}) — mapping folds the mesh"
             )
+        return xq, dets, coef
+
+    @cached_property
+    def _mapped_tables(self):
+        """(x_q, J ``[E, n_q, 3, 3]``, det, J^{-1} ``[E, n_q, 3, 3]``) —
+        the FULL-tensor variant for consumers that need J or J^{-1}
+        per qpoint (FEEvaluation physical gradients, ``jacobian_full``).
+        Reuses the core tables; the second slab pass re-runs the cheap
+        sweeps and materializes the two big tensors only when asked."""
+        xq, dets, _ = self._mapped_core
+        n_cells, n_q = self.mesh.n_cells, self.n_q
+        J = np.empty((n_cells, n_q, 3, 3))
+        Jinv = np.empty((n_cells, n_q, 3, 3))
+        for sl, _xq, Jslab in self._iter_jacobian_slabs():
+            J[sl] = Jslab
+            _, Jinv[sl] = _det_inv_3x3(Jslab)
         return xq, J, dets, Jinv
 
     def jacobian_full(self, dtype=np.float64) -> np.ndarray:
@@ -232,7 +263,7 @@ class Geometry:
     def det_q_full(self) -> np.ndarray:
         """``[n_cells, n_q]`` det(J) per qpoint."""
         if self.mapped:
-            return self._mapped_tables[2]
+            return self._mapped_core[1]
         return np.broadcast_to(
             self.det_per_cell()[:, None], (self.mesh.n_cells, self.n_q)
         )
@@ -262,25 +293,11 @@ class Geometry:
         coef[:, :, 5] = md[:, 2:3] * w[None, :]
         return coef
 
-    @cached_property
+    @property
     def _merged_coef_mapped(self) -> np.ndarray:
-        """f64 mapped merged-coefficient table, element-chunked so the
-        J^{-1}J^{-T} temporaries stay small (see _mapped_tables)."""
-        w = self.w3d.reshape(-1)
-        _, _, dets, Jinv = self._mapped_tables
-        n_cells = self.mesh.n_cells
-        coef = np.empty((n_cells, self.n_q, 6))
-        planes = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
-        step = max(1, (4 << 20) // (self.n_q * 72))
-        for e0 in range(0, n_cells, step):
-            sl = slice(e0, min(e0 + step, n_cells))
-            G = np.matmul(Jinv[sl], np.swapaxes(Jinv[sl], -1, -2))
-            jxw = dets[sl] * w[None, :]
-            cs = np.empty((sl.stop - sl.start, self.n_q, 6))
-            for plane, (r, s) in enumerate(planes):
-                cs[:, :, plane] = jxw * G[:, :, r, s]
-            coef[sl] = cs
-        return coef
+        """f64 mapped merged-coefficient table (slab-streamed in
+        :attr:`_mapped_core`, cached there)."""
+        return self._mapped_core[2]
 
     def inv_jacobian_full(self, dtype=np.float64) -> np.ndarray:
         """``[n_cells, n_q, 3, 3]`` inverse Jacobian per qpoint."""
@@ -292,7 +309,7 @@ class Geometry:
         """``[n_cells, n_q, 3]`` physical quadrature points, cell order
         (ez,ey,ex) flattened, qpoint order (qz,qy,qx), x fastest."""
         if self.mapped:
-            return self._mapped_tables[0]
+            return self._mapped_core[0]
         mesh, basis = self.mesh, self.basis
         qp = basis.q_points
         edges = mesh.edges_1d()
