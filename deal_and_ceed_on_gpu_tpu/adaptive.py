@@ -622,22 +622,32 @@ def amr_loop(
     theta: float = 0.5,
     reduction: float = 1e-10,
     max_iterations: int = 800,
+    precond: str = "none",
+    dtype=jnp.float64,
 ):
     """The solve -> estimate -> mark -> refine loop. Returns the per-step
     history: dicts with ``space``, ``x``, ``n_dofs``, ``n_cells``,
-    ``eta`` (global estimate), ``n_iterations``."""
-    from .solvers import ReductionControl, solve_cg_merged
+    ``eta`` (global estimate), ``n_iterations``. ``precond="mg"`` solves
+    each step with :class:`~.solvers.AdaptiveMultigrid`-preconditioned CG
+    (level-independent iteration counts) instead of plain merged CG."""
+    from .solvers import ReductionControl, solve_cg, solve_cg_merged
 
     mesh = AdaptiveMesh.from_brick(base)
     history = []
     for step in range(n_steps + 1):
-        space = AdaptiveSpace(mesh, degree)
+        space = AdaptiveSpace(mesh, degree, dtype=dtype)
         op = AdaptivePoissonOperator(space)
         b = assemble_rhs_adaptive(space, f)
         control = ReductionControl(
             max_iterations, tolerance=0.0, reduction=reduction
         )
-        x, info = solve_cg_merged(op.vmult, b, control)
+        if precond == "mg" and int(mesh.levels.max()) > 0:
+            from .solvers import AdaptiveMultigrid
+
+            mg = AdaptiveMultigrid(space, fine_op=op)
+            x, info = solve_cg(op.vmult, b, control, diag=mg.vcycle)
+        else:
+            x, info = solve_cg_merged(op.vmult, b, control)
         eta = estimate_gradient_recovery(space, op, x)
         history.append(
             {

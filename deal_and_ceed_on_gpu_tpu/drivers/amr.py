@@ -26,7 +26,18 @@ def main():
     ap.add_argument("--theta", type=float, default=0.5, help="Doerfler fraction")
     ap.add_argument("--center", type=float, nargs=3, default=(0.8, 0.8, 0.8))
     ap.add_argument("--width", type=float, default=0.01, help="source width^2")
+    ap.add_argument(
+        "--precond",
+        choices=("none", "mg"),
+        default="none",
+        help="mg = global-coarsening adaptive multigrid preconditioner",
+    )
+    ap.add_argument("--dtype", default="float64", choices=("float32", "float64"))
     args = ap.parse_args()
+
+    from ..utils import ensure_x64
+
+    ensure_x64(args.dtype)
 
     c = np.asarray(args.center)
 
@@ -40,6 +51,8 @@ def main():
         f=f,
         n_steps=args.steps,
         theta=args.theta,
+        precond=args.precond,
+        dtype=args.dtype,
     )
     pcout(f"{'step':>4} {'cells':>8} {'DoFs':>9} {'CG its':>7} {'estimate':>12}")
     for k, h in enumerate(hist):

@@ -9,9 +9,11 @@ from .cg_merged import solve_cg_merged
 from .fdm import FDMSolver
 from .ir import solve_cg_ir
 from .multigrid import Multigrid
+from .adaptive_mg import AdaptiveMultigrid
 
 __all__ = [
     "Multigrid",
+    "AdaptiveMultigrid",
     "SolverControl",
     "IterationNumberControl",
     "ReductionControl",

@@ -1,0 +1,217 @@
+"""Adaptive (hanging-node) multigrid — solvers/adaptive_mg.py.
+
+Global-coarsening h-multigrid over the AMR hierarchy. Acceptance:
+
+- the clamped-level hierarchy terminates at the conforming base brick and
+  every intermediate mesh stays 2:1 balanced;
+- prolongation is the exact nodal embedding (reproduces conforming
+  polynomials bit-tight) and restriction is its exact algebraic transpose;
+- the V-cycle is symmetric (legal inside plain CG) and MG-CG converges in
+  a level-independent handful of iterations to the sparse-direct solution.
+
+The reference stops at applying hanging-node constraints inside the cell
+loop (`bp5/fe_evaluation_gl.h:150-151,167-168`); an adaptive-mesh
+multigrid solver is capability beyond it, verified here against the same
+C^T A C oracle used by tests/test_adaptive.py.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+from deal_and_ceed_on_gpu_tpu import BrickMesh, ReductionControl, solve_cg
+from deal_and_ceed_on_gpu_tpu.adaptive import (
+    AdaptiveMesh,
+    AdaptivePoissonOperator,
+    AdaptiveSpace,
+    assemble_rhs_adaptive,
+)
+from deal_and_ceed_on_gpu_tpu.solvers import AdaptiveMultigrid
+from deal_and_ceed_on_gpu_tpu.solvers.adaptive_mg import (
+    adaptive_hierarchy,
+    coarsen_adaptive,
+    make_prolongation,
+)
+from deal_and_ceed_on_gpu_tpu.utils.oracle import element_matrix
+
+
+def _two_level_mesh(shape=(2, 2, 2), marks=(0,)):
+    amesh = AdaptiveMesh.refine(BrickMesh(shape), marks)
+    child = int(np.flatnonzero(amesh.levels == 1)[0])
+    return amesh.refine_active((child,))
+
+
+def _assemble_full(space):
+    rows, cols, vals = [], [], []
+    base = BrickMesh((1, 1, 1))
+    for e in range(space.mesh.n_cells):
+        Ae = element_matrix(
+            base, space.basis, "stiffness", h_cell=tuple(space.mesh.sizes[e])
+        )
+        idx = space._dof_map_np[e]
+        rows.append(np.repeat(idx, idx.size))
+        cols.append(np.tile(idx, idx.size))
+        vals.append(Ae.reshape(-1))
+    n = space.n_dofs
+    return sp.coo_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(n, n),
+    ).tocsr()
+
+
+def _direct_solve(space, b):
+    A = _assemble_full(space)
+    C = space.constraint_matrix()
+    mask = space.constrained_mask_np
+    P = sp.diags((~mask).astype(float))
+    Ic = sp.diags(mask.astype(float))
+    A_eff = (P @ C.T @ A @ C @ P + Ic).tocsc()
+    return spla.spsolve(A_eff, np.asarray(b))
+
+
+# ---------------------------------------------------------------- hierarchy
+
+
+def test_hierarchy_reaches_base_and_stays_balanced():
+    amesh = _two_level_mesh()
+    assert amesh.levels.max() == 2
+    meshes, transfers = adaptive_hierarchy(amesh)
+    assert len(meshes) == 3 and len(transfers) == 2
+    for m in meshes:
+        assert m.is_balanced()
+    assert meshes[-1].levels.max() == 0
+    assert meshes[-1].n_cells == 8  # back to the 2x2x2 base brick
+    # cell counts strictly decrease
+    counts = [m.n_cells for m in meshes]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_coarsen_maps_every_fine_cell():
+    amesh = AdaptiveMesh.refine(BrickMesh((2, 2, 2)), (0, 7))
+    coarse, src_cell, axis_pick = coarsen_adaptive(amesh)
+    assert src_cell.shape == (amesh.n_cells,)
+    assert (src_cell >= 0).all() and (src_cell < coarse.n_cells).all()
+    # unrefined cells map with identity transfer (pick 0 on every axis)
+    keep = amesh.levels == 0
+    assert (axis_pick[keep] == 0).all()
+    # refined cells pick a child half on every axis
+    assert (axis_pick[~keep] > 0).all()
+    # geometric containment: each fine cell lies inside its source cell
+    lo_c = coarse.origins[src_cell]
+    hi_c = lo_c + coarse.sizes[src_cell]
+    assert (amesh.origins >= lo_c - 1e-12).all()
+    assert (amesh.origins + amesh.sizes <= hi_c + 1e-12).all()
+
+
+# ------------------------------------------------------------------ transfer
+
+
+@pytest.mark.parametrize("p", [2, 3])
+def test_prolongation_reproduces_conforming_polynomials(p):
+    """The nodal embedding of the coarse interpolant of a degree<=p tensor
+    polynomial vanishing on the boundary equals the fine interpolant."""
+    amesh = _two_level_mesh()
+    meshes, transfers = adaptive_hierarchy(amesh)
+    fine = AdaptiveSpace(meshes[0], p)
+    coarse = AdaptiveSpace(meshes[1], p)
+    P = make_prolongation(coarse, fine, *transfers[0])
+
+    def f(x):
+        g = x * (1.0 - x)  # zero on the unit-cube boundary
+        poly = 1.0 + x[:, 0] - 0.5 * x[:, 1] if p >= 3 else 1.0
+        return g[:, 0] * g[:, 1] * g[:, 2] * poly
+
+    uc = jnp.asarray(f(coarse.node_coords))
+    uf = np.asarray(P(uc))
+    np.testing.assert_allclose(uf, f(fine.node_coords), rtol=1e-12, atol=1e-12)
+
+
+def test_restriction_is_exact_transpose():
+    amesh = _two_level_mesh()
+    mg = AdaptiveMultigrid(AdaptiveSpace(amesh, 2))
+    rng = np.random.default_rng(3)
+    for k in range(len(mg.prolongs)):
+        cs, fs = mg.spaces[k + 1], mg.spaces[k]
+        u = rng.standard_normal(cs.n_dofs)
+        u[cs.constrained_mask_np] = 0.0  # solve subspace on the coarse level
+        v = rng.standard_normal(fs.n_dofs)
+        lhs = float(jnp.dot(mg.prolongs[k](jnp.asarray(u)), jnp.asarray(v)))
+        rhs = float(jnp.dot(jnp.asarray(u), mg.restricts[k](jnp.asarray(v))))
+        assert abs(lhs - rhs) < 1e-11 * max(1.0, abs(lhs))
+
+
+# ------------------------------------------------------------------- V-cycle
+
+
+def test_vcycle_symmetric_positive():
+    space = AdaptiveSpace(_two_level_mesh(), 2)
+    mg = AdaptiveMultigrid(space)
+    assert mg.n_levels == 3
+    rng = np.random.default_rng(7)
+    mask = space.constrained_mask_np
+    r1, r2 = rng.standard_normal(space.n_dofs), rng.standard_normal(space.n_dofs)
+    r1[mask] = 0.0
+    r2[mask] = 0.0
+    r1, r2 = jnp.asarray(r1), jnp.asarray(r2)
+    a = float(jnp.dot(mg.vcycle(r1), r2))
+    b = float(jnp.dot(r1, mg.vcycle(r2)))
+    assert abs(a - b) < 1e-10 * max(1.0, abs(a))
+    assert float(jnp.dot(mg.vcycle(r1), r1)) > 0.0
+
+
+def test_level_dinv_exact_without_hanging_nodes():
+    """On a conforming adaptive mesh (everything refined) the constrained
+    level diagonal must equal the true operator diagonal exactly."""
+    space = AdaptiveSpace(
+        AdaptiveMesh.refine(BrickMesh((2, 2, 2)), tuple(range(8))), 2
+    )
+    assert space.hang_rows.size == 0
+    A = _assemble_full(space)
+    want = np.asarray(A.diagonal())
+    want[space.constrained_mask_np] = 1.0
+    got = 1.0 / np.asarray(AdaptiveMultigrid._level_dinv(
+        AdaptivePoissonOperator(space)
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-12)
+
+
+# -------------------------------------------------------------------- MG-CG
+
+
+@pytest.mark.parametrize("p", [2, 3])
+def test_mgcg_matches_direct(p):
+    space = AdaptiveSpace(_two_level_mesh(), p)
+    assert space.hanging_mask_np.sum() > 0
+    op = AdaptivePoissonOperator(space)
+    mg = AdaptiveMultigrid(space, fine_op=op)
+    b = assemble_rhs_adaptive(space, 1.0)
+    control = ReductionControl(60, tolerance=0.0, reduction=1e-12)
+    x, info = solve_cg(op.vmult, b, control, diag=mg.vcycle)
+    its = int(info["n_iterations"])
+    assert its <= 25, f"MG-CG took {its} iterations"
+    np.testing.assert_allclose(
+        np.asarray(x), _direct_solve(space, b), rtol=1e-8, atol=1e-10
+    )
+
+
+def test_mgcg_iterations_level_independent():
+    """Iteration counts must stay O(1) as refinement depth grows — the
+    property plain Jacobi-CG lacks."""
+    base = BrickMesh((2, 2, 2))
+    its = []
+    amesh = AdaptiveMesh.refine(base, (0,))
+    for _ in range(2):
+        space = AdaptiveSpace(amesh, 2)
+        op = AdaptivePoissonOperator(space)
+        mg = AdaptiveMultigrid(space, fine_op=op)
+        b = assemble_rhs_adaptive(space, 1.0)
+        control = ReductionControl(80, tolerance=0.0, reduction=1e-10)
+        _, info = solve_cg(op.vmult, b, control, diag=mg.vcycle)
+        its.append(int(info["n_iterations"]))
+        # deepen: refine the first finest-level cell (keeps 2:1 balance)
+        child = int(np.flatnonzero(amesh.levels == amesh.levels.max())[0])
+        amesh = amesh.refine_active((child,))
+    assert max(its) <= 25
+    assert max(its) - min(its) <= 6
