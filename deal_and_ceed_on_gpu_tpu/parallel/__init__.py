@@ -4,6 +4,7 @@ from .dist_adaptive import (
     DistAdaptivePoisson,
     solve_cg_merged_dist_adaptive,
 )
+from .dist_adaptive_mg import DistAdaptiveMultigrid, solve_cg_mg_dist_adaptive
 from .dist_fdm import DistFDM, solve_cg_fdm_dist
 from .dist_multigrid import DistMultigrid, solve_cg_mg_dist
 from .dist_operator import DistOperator, DistPoissonOperator, halo_combine
@@ -21,6 +22,8 @@ __all__ = [
     "DistAdaptivePoisson",
     "SlabPartition",
     "solve_cg_merged_dist_adaptive",
+    "DistAdaptiveMultigrid",
+    "solve_cg_mg_dist_adaptive",
     "DistFDM",
     "DistMultigrid",
     "DistOperator",

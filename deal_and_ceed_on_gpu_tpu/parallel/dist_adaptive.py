@@ -87,6 +87,13 @@ class AdaptivePartition:
         S = sigma.size
         self.n_sigma = S
         sigma_slot = {int(d): s for s, d in enumerate(sigma)}
+        # host-side tables reused by the level-transfer builders
+        # (parallel/dist_adaptive_mg.py): permuted-DoF owners, per-cell
+        # owners, and the sigma set/slots
+        self.owner = owner
+        self.cell_owner = cell_owner
+        self.sigma = sigma
+        self.sigma_slot = sigma_slot
 
         # index space per shard: [0, n_loc) owned | [n_loc, n_loc+S) sigma
         # | n_loc+S trash
