@@ -292,28 +292,25 @@ class AdaptiveMultigrid:
 
 
 def _power_bounds(op, dinv, smoothing_range, n_power=12):
-    """lambda_max(D^-1 A) over the constrained-zero subspace by a jitted
-    device power iteration; deal.II 1.2x safety factor."""
+    """lambda_max(D^-1 A) over the constrained-zero subspace by a device
+    power iteration; deal.II 1.2x safety factor.
+
+    Runs EAGERLY on purpose: jitting would close over the level's
+    ``elem_dof_map``/coefficient tables as compile-time constants, and XLA
+    constant-folds the gather index arithmetic — minutes of setup compile
+    at 10^6-cell levels for 12 matvecs of work."""
     s = op.space
     mask = s.constrained_mask
-    u0 = jnp.asarray(
+    u = jnp.asarray(
         np.random.default_rng(42).standard_normal(s.n_dofs), dtype=s.dtype
     )
+    u = jnp.where(mask, 0.0, u)
+    u = u / jnp.linalg.norm(u)
+    lam = 1.0
+    for _ in range(n_power):
+        v = jnp.where(mask, 0.0, dinv * op.vmult(u))
+        lam = float(jnp.linalg.norm(v))
+        u = v / lam
 
-    @jax.jit
-    def power(u):
-        u = jnp.where(mask, 0.0, u)
-        u = u / jnp.linalg.norm(u)
-
-        def step(_, carry):
-            u, _ = carry
-            v = jnp.where(mask, 0.0, dinv * op.vmult(u))
-            lam = jnp.linalg.norm(v)
-            return v / lam, lam
-
-        return jax.lax.fori_loop(
-            0, n_power, step, (u, jnp.asarray(1.0, dtype=u.dtype))
-        )[1]
-
-    lam_max = 1.2 * float(power(u0))
+    lam_max = 1.2 * lam
     return lam_max / smoothing_range, lam_max
