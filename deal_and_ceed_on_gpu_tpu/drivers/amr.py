@@ -33,6 +33,12 @@ def main():
         help="mg = global-coarsening adaptive multigrid preconditioner",
     )
     ap.add_argument("--dtype", default="float64", choices=("float32", "float64"))
+    ap.add_argument(
+        "--write-solution",
+        metavar="PATH.vtu",
+        default=None,
+        help="write the final step's solution as a VTK unstructured grid",
+    )
     args = ap.parse_args()
 
     from ..utils import ensure_x64
@@ -60,6 +66,12 @@ def main():
             f"{k:>4} {h['n_cells']:>8} {h['n_dofs']:>9} "
             f"{h['n_iterations']:>7} {h['eta']:>12.4e}"
         )
+    if args.write_solution:
+        from ..utils.vtk import write_solution_vtu
+
+        last = hist[-1]
+        write_solution_vtu(args.write_solution, last["space"], last["x"])
+        pcout(f"solution written to {args.write_solution}")
 
 
 if __name__ == "__main__":

@@ -13,7 +13,12 @@ import numpy as np
 
 from . import native
 
-__all__ = ["write_solution_vtr", "write_solution_vts", "write_solution_pvtr"]
+__all__ = [
+    "write_solution_vtr",
+    "write_solution_vts",
+    "write_solution_vtu",
+    "write_solution_pvtr",
+]
 
 
 def _write_vtr_piece(path, xs, ys, zs, values, whole_ext, piece_ext,
@@ -205,6 +210,78 @@ def write_solution_vts(path, space, u, field_name="solution"):
         f'<DataArray type="Float64" NumberOfComponents="3" '
         f'format="appended" offset="{offsets[1]}"/>\n'
         "</Points>\n</Piece>\n</StructuredGrid>\n"
+        '<AppendedData encoding="raw">\n_'
+    )
+    with open(path, "wb") as f:
+        f.write(hdr.encode())
+        for b in blobs:
+            f.write(struct.pack("<Q", len(b)))
+            f.write(b)
+        f.write(b"\n</AppendedData>\n</VTKFile>\n")
+    return path
+
+
+def write_solution_vtu(path, space, u, field_name="solution"):
+    """VTK *unstructured* grid (.vtu) for adaptive (hanging-node) meshes:
+    every active cell is emitted as p^3 linear sub-hexes over its nodal
+    lattice (deal.II ``DataOut`` with ``n_subdivisions = p`` — the
+    reference's VTU output path, ``step-64/step-64.cu:560-588``). Nodal
+    values are written CONFORMING (``distribute`` applied), so hanging
+    nodes carry their interpolated values.
+    """
+    p = space.degree
+    p1 = p + 1
+    pts = np.ascontiguousarray(space.node_coords, dtype=np.float64)
+    values = np.ascontiguousarray(
+        np.asarray(space.distribute(u), dtype=np.float64).reshape(-1)
+    )
+    dof_map = space._dof_map_np  # [E, p1^3], local (k, j, i) = (z, y, x)
+
+    # sub-hex corner offsets in VTK_HEXAHEDRON order (bottom CCW, top CCW)
+    corners = np.array(
+        [(0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0),
+         (0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1)]
+    )  # (di, dj, dk)
+    k, j, i = np.meshgrid(np.arange(p), np.arange(p), np.arange(p), indexing="ij")
+    base = np.stack([i, j, k], axis=-1).reshape(-1, 3)  # [p^3, 3] (i, j, k)
+    loc = (
+        (base[:, None, 2] + corners[None, :, 2]) * p1
+        + (base[:, None, 1] + corners[None, :, 1])
+    ) * p1 + (base[:, None, 0] + corners[None, :, 0])  # [p^3, 8]
+    conn = dof_map[:, loc].reshape(-1, 8).astype(np.int64)  # [E*p^3, 8]
+    n_cells = conn.shape[0]
+    offsets = (np.arange(1, n_cells + 1, dtype=np.int64) * 8)
+    types = np.full(n_cells, 12, dtype=np.uint8)  # VTK_HEXAHEDRON
+
+    blobs = [
+        values.tobytes(),
+        pts.tobytes(),
+        np.ascontiguousarray(conn).tobytes(),
+        offsets.tobytes(),
+        types.tobytes(),
+    ]
+    offs, off = [], 0
+    for b in blobs:
+        offs.append(off)
+        off += 8 + len(b)
+    hdr = (
+        '<?xml version="1.0"?>\n'
+        '<VTKFile type="UnstructuredGrid" version="1.0" '
+        'byte_order="LittleEndian" header_type="UInt64">\n'
+        "<UnstructuredGrid>\n"
+        f'<Piece NumberOfPoints="{pts.shape[0]}" NumberOfCells="{n_cells}">\n'
+        f'<PointData Scalars="{field_name}">\n'
+        f'<DataArray type="Float64" Name="{field_name}" format="appended" '
+        f'offset="{offs[0]}"/>\n</PointData>\n<Points>\n'
+        f'<DataArray type="Float64" NumberOfComponents="3" '
+        f'format="appended" offset="{offs[1]}"/>\n</Points>\n<Cells>\n'
+        f'<DataArray type="Int64" Name="connectivity" format="appended" '
+        f'offset="{offs[2]}"/>\n'
+        f'<DataArray type="Int64" Name="offsets" format="appended" '
+        f'offset="{offs[3]}"/>\n'
+        f'<DataArray type="UInt8" Name="types" format="appended" '
+        f'offset="{offs[4]}"/>\n'
+        "</Cells>\n</Piece>\n</UnstructuredGrid>\n"
         '<AppendedData encoding="raw">\n_'
     )
     with open(path, "wb") as f:

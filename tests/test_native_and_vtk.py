@@ -133,3 +133,58 @@ def test_write_solution_pvtr(tmp_path):
         covered[z0 : z1 + 1, y0 : y1 + 1, x0 : x1 + 1] = True
     assert covered.all()
     np.testing.assert_array_equal(recon, u)
+
+
+def test_write_solution_vtu_adaptive(tmp_path):
+    """Adaptive-mesh VTU: p^3 sub-hexes per active cell, conforming point
+    data, valid connectivity, and geometry consistent with the nodal
+    lattice (corner coordinates of every sub-hex come from the right
+    global nodes)."""
+    import struct
+
+    import jax.numpy as jnp
+
+    from deal_and_ceed_on_gpu_tpu.adaptive import AdaptiveMesh, AdaptiveSpace
+    from deal_and_ceed_on_gpu_tpu.utils.vtk import write_solution_vtu
+
+    p = 2
+    amesh = AdaptiveMesh.refine(BrickMesh((2, 2, 2)), (0, 5))
+    space = AdaptiveSpace(amesh, p)
+    u = np.random.default_rng(3).standard_normal(space.n_dofs)
+    path = tmp_path / "amr.vtu"
+    write_solution_vtu(path, space, jnp.asarray(u))
+
+    raw = path.read_bytes()
+    assert b'type="UnstructuredGrid"' in raw
+    n_cells_want = amesh.n_cells * p**3
+    assert f'NumberOfCells="{n_cells_want}"'.encode() in raw
+    assert f'NumberOfPoints="{space.n_dofs}"'.encode() in raw
+
+    # decode the appended blobs: values, points, connectivity, offsets, types
+    body = raw.split(b'<AppendedData encoding="raw">\n_')[1]
+    blobs = []
+    pos = 0
+    for _ in range(5):
+        (n,) = struct.unpack_from("<Q", body, pos)
+        blobs.append(body[pos + 8 : pos + 8 + n])
+        pos += 8 + n
+    values = np.frombuffer(blobs[0], np.float64)
+    pts = np.frombuffer(blobs[1], np.float64).reshape(-1, 3)
+    conn = np.frombuffer(blobs[2], np.int64).reshape(-1, 8)
+    types = np.frombuffer(blobs[4], np.uint8)
+
+    np.testing.assert_allclose(
+        values, np.asarray(space.distribute(jnp.asarray(u))), rtol=1e-14
+    )
+    np.testing.assert_allclose(pts, space.node_coords, rtol=1e-14)
+    assert conn.shape[0] == n_cells_want
+    assert conn.min() >= 0 and conn.max() < space.n_dofs
+    assert (types == 12).all()
+    # every sub-hex must be a genuine axis-aligned box with positive volume
+    c = pts[conn]  # [n_cells, 8, 3]
+    dx = c[:, 1, 0] - c[:, 0, 0]
+    dy = c[:, 3, 1] - c[:, 0, 1]
+    dz = c[:, 4, 2] - c[:, 0, 2]
+    assert (dx > 0).all() and (dy > 0).all() and (dz > 0).all()
+    np.testing.assert_allclose(c[:, 6], c[:, 0] + np.stack([dx, dy, dz], -1),
+                               rtol=1e-13, atol=1e-14)
