@@ -496,6 +496,40 @@ class AdaptivePoissonOperator:
         return jnp.ones((self.space.n_dofs,), dtype=self.space.dtype)
 
 
+class AdaptiveHelmholtzOperator(AdaptivePoissonOperator):
+    """-div(grad u) + a(x) u on an adaptive (hanging-node) space — the
+    step-64 workload (`step-64/step-64.cu:153-160`) on AMR meshes, which
+    the reference's uniform-sweep drivers never reach. ``a`` is evaluated
+    at the physical (nodal, GLL-collocation) quadrature points of every
+    active cell; with S == I the value term is one in-place FMA at the
+    quadrature stage."""
+
+    def __init__(self, space: AdaptiveSpace, a=None):
+        super().__init__(space)
+        if a is None:
+            from .models.helmholtz import default_coefficient
+
+            a = default_coefficient
+        aq = np.asarray(a(_cell_qpoints(space)), dtype=np.float64)
+        self._aq_jxw = jnp.asarray(aq, dtype=space.dtype) * self._jxw
+
+    def apply_cell_loop(self, u: jnp.ndarray) -> jnp.ndarray:
+        s = self.space
+        ul = lg.gather_indexed(u, s.elem_dof_map, s.degree)
+        vals, grads = sf.evaluate(ul, self.S, self.D, (1, 2, 3), True, True, True)
+        gx, gy, gz = grads
+        cx, cy, cz = self._cw
+        vl = sf.integrate(
+            vals * self._aq_jxw,
+            (gx * cx, gy * cy, gz * cz),
+            self.S,
+            self.D,
+            (1, 2, 3),
+            True,
+        )
+        return lg.scatter_indexed(vl, s.elem_dof_map, s.n_dofs)
+
+
 def _cell_qpoints(space: AdaptiveSpace) -> np.ndarray:
     """Physical quadrature (= nodal, GLL collocation) points per active
     cell: ``[n_cells, q, q, q, 3]`` in local (z, y, x) order."""

@@ -170,14 +170,20 @@ class AdaptiveMultigrid:
         smoothing_range: float = 20.0,
         coarse_max_dofs: int = 30000,
         fine_op: AdaptivePoissonOperator | None = None,
+        make_op=None,
     ):
+        """``make_op(space) -> operator`` rediscretizes each level
+        (default :class:`AdaptivePoissonOperator`; pass e.g.
+        ``AdaptiveHelmholtzOperator`` for variable-coefficient levels —
+        the coefficient re-evaluates at every level's own qpoints)."""
+        make_op = make_op or AdaptivePoissonOperator
         meshes, transfers = adaptive_hierarchy(space.mesh)
         self.spaces = [space] + [
             AdaptiveSpace(m, space.degree, dtype=space.dtype)
             for m in meshes[1:]
         ]
-        self.ops = [fine_op or AdaptivePoissonOperator(space)] + [
-            AdaptivePoissonOperator(s) for s in self.spaces[1:]
+        self.ops = [fine_op or make_op(space)] + [
+            make_op(s) for s in self.spaces[1:]
         ]
         self.n_smooth = n_smooth
         cs = self.spaces[-1]
@@ -240,9 +246,13 @@ class AdaptiveMultigrid:
             + mdy[:, None, None, None] * (wd[:, None, None] * kd[None, :, None] * wd[None, None, :])[None]
             + mdz[:, None, None, None] * (kd[:, None, None] * wd[None, :, None] * wd[None, None, :])[None]
         )
-        d = lg.scatter_indexed(
-            jnp.asarray(dloc, dtype=s.dtype), s.elem_dof_map, s.n_dofs
-        )
+        dloc = jnp.asarray(dloc, dtype=s.dtype)
+        aq_jxw = getattr(op, "_aq_jxw", None)
+        if aq_jxw is not None:
+            # Helmholtz value term: with GLL collocation the local mass
+            # matrix is diagonal and its diagonal IS a(x_q) * JxW
+            dloc = dloc + aq_jxw
+        d = lg.scatter_indexed(dloc, s.elem_dof_map, s.n_dofs)
         if s.hang_rows.size:
             add = jax.ops.segment_sum(
                 (s.hang_w**2) * d[s.hang_rows], s.hang_cols, s.n_dofs

@@ -215,3 +215,79 @@ def test_mgcg_iterations_level_independent():
         amesh = amesh.refine_active((child,))
     assert max(its) <= 25
     assert max(its) - min(its) <= 6
+
+
+# ------------------------------------------------- Helmholtz on AMR meshes
+
+
+def _assemble_full_helmholtz(space, a):
+    from deal_and_ceed_on_gpu_tpu.adaptive import _cell_qpoints
+
+    Xq = _cell_qpoints(space)
+    rows, cols, vals = [], [], []
+    base = BrickMesh((1, 1, 1))
+    for e in range(space.mesh.n_cells):
+        Ae = element_matrix(
+            base,
+            space.basis,
+            "helmholtz",
+            cell_qpoints=Xq[e].reshape(-1, 3),
+            coefficient_fn=a,
+            h_cell=tuple(space.mesh.sizes[e]),
+        )
+        idx = space._dof_map_np[e]
+        rows.append(np.repeat(idx, idx.size))
+        cols.append(np.tile(idx, idx.size))
+        vals.append(Ae.reshape(-1))
+    n = space.n_dofs
+    return sp.coo_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(n, n),
+    ).tocsr()
+
+
+@pytest.mark.parametrize("p", [2, 3])
+def test_adaptive_helmholtz_matches_oracle(p):
+    from deal_and_ceed_on_gpu_tpu.adaptive import AdaptiveHelmholtzOperator
+    from deal_and_ceed_on_gpu_tpu.models.helmholtz import default_coefficient
+
+    space = AdaptiveSpace(_two_level_mesh(), p)
+    assert space.hanging_mask_np.sum() > 0
+    op = AdaptiveHelmholtzOperator(space)
+    A = _assemble_full_helmholtz(space, default_coefficient)
+    C = space.constraint_matrix()
+    mask = space.constrained_mask_np
+    rng = np.random.default_rng(2)
+    for _ in range(2):
+        u = rng.standard_normal(space.n_dofs)
+        u1 = np.where(mask, 0.0, u)
+        want = C.T @ (A @ (C @ u1))
+        want = np.where(space.hanging_mask_np, 0.0, want)
+        want = np.where(mask, u, want)
+        got = np.asarray(op.vmult(jnp.asarray(u)))
+        np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-11)
+
+
+def test_adaptive_helmholtz_mgcg_matches_direct():
+    import scipy.sparse.linalg as spla
+
+    from deal_and_ceed_on_gpu_tpu.adaptive import AdaptiveHelmholtzOperator
+    from deal_and_ceed_on_gpu_tpu.models.helmholtz import default_coefficient
+
+    space = AdaptiveSpace(_two_level_mesh(), 2)
+    op = AdaptiveHelmholtzOperator(space)
+    mg = AdaptiveMultigrid(space, fine_op=op, make_op=AdaptiveHelmholtzOperator)
+    b = assemble_rhs_adaptive(space, 1.0)
+    control = ReductionControl(60, tolerance=0.0, reduction=1e-12)
+    x, info = solve_cg(op.vmult, b, control, diag=mg.vcycle)
+    its = int(info["n_iterations"])
+    assert its <= 25, f"Helmholtz MG-CG took {its} iterations"
+
+    A = _assemble_full_helmholtz(space, default_coefficient)
+    C = space.constraint_matrix()
+    mask = space.constrained_mask_np
+    P = sp.diags((~mask).astype(float))
+    Ic = sp.diags(mask.astype(float))
+    A_eff = (P @ C.T @ A @ C @ P + Ic).tocsc()
+    x_direct = spla.spsolve(A_eff, np.asarray(b))
+    np.testing.assert_allclose(np.asarray(x), x_direct, rtol=1e-8, atol=1e-10)
