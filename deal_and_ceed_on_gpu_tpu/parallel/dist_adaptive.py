@@ -189,10 +189,11 @@ class AdaptivePartition:
 
 
 class DistAdaptivePoisson:
-    """SPMD adaptive Poisson vmult: ``vmult_local`` runs inside shard_map
-    on the owned slab ``[n_loc]``; tables arrive as sharded operands."""
+    """SPMD adaptive vmult (Poisson, or Helmholtz when ``a`` is given):
+    ``vmult_local`` runs inside shard_map on the owned slab ``[n_loc]``;
+    tables arrive as sharded operands."""
 
-    def __init__(self, part: AdaptivePartition, dtype=jnp.float64):
+    def __init__(self, part: AdaptivePartition, dtype=jnp.float64, a=None):
         self.part = part
         space = part.space
         self.dtype = jnp.dtype(dtype)
@@ -206,6 +207,29 @@ class DistAdaptivePoisson:
             jnp.asarray(part.cell_coef[:, :, d, None, None, None] * w3, dtype=dtype)
             for d in range(3)
         )
+        # optional Helmholtz value term: a(x_q) * JxW per packed shard cell
+        # (dead padding cells carry exact zeros, like the metric tables)
+        self.has_value_term = a is not None
+        if a is not None:
+            from ..adaptive import _cell_qpoints
+
+            q1 = b.n_q
+            aq = np.asarray(a(_cell_qpoints(space)), dtype=np.float64)
+            det = space.mesh.sizes.prod(axis=1)
+            a_jxw = aq * det[:, None, None, None] * w3
+            n_sh, E_loc = part.cell_map.shape[:2]
+            packed = np.zeros((n_sh, E_loc, q1, q1, q1))
+            counts = np.zeros(n_sh, dtype=np.int64)
+            for e in range(space.mesh.n_cells):
+                k = int(part.cell_owner[e])
+                packed[k, counts[k]] = a_jxw[e]
+                counts[k] += 1
+            self._a_jxw = jnp.asarray(packed, dtype=dtype)
+        else:
+            # fixed-shape placeholder so the operand list is static
+            self._a_jxw = jnp.zeros(
+                (part.cell_map.shape[0], 1, 1, 1, 1), dtype=dtype
+            )
         self.h_weights = jnp.asarray(part.h_weights, dtype=dtype)
         self._solver_cache = {}
 
@@ -215,6 +239,7 @@ class DistAdaptivePoisson:
         return (
             p.cell_map,
             *self.coef_tables,
+            self._a_jxw,
             p.own_sig_local,
             p.own_sig_slot,
             p.h_local,
@@ -237,12 +262,15 @@ class DistAdaptivePoisson:
         shape = u.shape
         return self._vmult_flat(u.reshape(-1), *tables).reshape(shape)
 
-    def _vmult_flat(self, u, cmap, cwx, cwy, cwz, osl, oss, hl, hm, hw, con, hng):
+    def _vmult_flat(
+        self, u, cmap, cwx, cwy, cwz, a_jxw, osl, oss, hl, hm, hw, con, hng
+    ):
         part = self.part
         ax = part.axis_name
         n_loc, S = part.n_loc, part.n_sigma
-        (cmap, cwx, cwy, cwz, osl, oss, hl, hm, hw, con, hng) = (
-            t.reshape(t.shape[1:]) for t in (cmap, cwx, cwy, cwz, osl, oss, hl, hm, hw, con, hng)
+        (cmap, cwx, cwy, cwz, a_jxw, osl, oss, hl, hm, hw, con, hng) = (
+            t.reshape(t.shape[1:])
+            for t in (cmap, cwx, cwy, cwz, a_jxw, osl, oss, hl, hm, hw, con, hng)
         )
         zero = jnp.zeros((), u.dtype)
 
@@ -264,10 +292,17 @@ class DistAdaptivePoisson:
 
         # cell loop (dead cells have zero coefficients)
         ul = u_cat[cmap].reshape(cmap.shape[0], *([self.S.shape[1]] * 3))
-        _, grads = sf.evaluate(ul, self.S, self.D, (1, 2, 3), False, True, True)
+        vals, grads = sf.evaluate(
+            ul, self.S, self.D, (1, 2, 3), self.has_value_term, True, True
+        )
         gx, gy, gz = grads
         vl = sf.integrate(
-            None, (gx * cwx, gy * cwy, gz * cwz), self.S, self.D, (1, 2, 3), True
+            vals * a_jxw if self.has_value_term else None,
+            (gx * cwx, gy * cwy, gz * cwz),
+            self.S,
+            self.D,
+            (1, 2, 3),
+            True,
         )
         v_cat = (
             jnp.zeros((n_loc + S + 1,), u.dtype)

@@ -197,7 +197,11 @@ class DistAdaptiveMultigrid:
         n_smooth: int = 3,
         smoothing_range: float = 20.0,
         coarse_max_dofs: int = 8000,
+        a=None,
     ):
+        """``a``: optional Helmholtz coefficient ``a(x)`` — every level's
+        operator (smoother vmult, diagonal, coarse matrix) rediscretizes
+        it at its own quadrature points."""
         space = part.space
         self.dtype = jnp.dtype(dtype)
         self.n_smooth = n_smooth
@@ -220,7 +224,9 @@ class DistAdaptiveMultigrid:
         self.parts = [part] + [
             AdaptivePartition(s, n_sh, axis_name=ax) for s in self.spaces[1:]
         ]
-        self.dist_ops = [DistAdaptivePoisson(p, dtype=dtype) for p in self.parts]
+        self.dist_ops = [
+            DistAdaptivePoisson(p, dtype=dtype, a=a) for p in self.parts
+        ]
         self.transfers = [
             _Transfer(self.parts[k + 1], self.parts[k], src, pick)
             for k, (src, pick) in enumerate(transfers)
@@ -228,7 +234,12 @@ class DistAdaptiveMultigrid:
         self._E = _embed_mats(space.basis, dtype)  # [3, p1, p1], replicated
 
         # setup on the single-device global operators (identical spectrum)
-        gops = [AdaptivePoissonOperator(s) for s in self.spaces]
+        if a is not None:
+            from ..adaptive import AdaptiveHelmholtzOperator
+
+            gops = [AdaptiveHelmholtzOperator(s, a=a) for s in self.spaces]
+        else:
+            gops = [AdaptivePoissonOperator(s) for s in self.spaces]
         self.bounds = []
         self._dinv_slabs = []
         for op, pl in zip(gops[:-1], self.parts[:-1]):
@@ -297,9 +308,9 @@ class DistAdaptiveMultigrid:
     def _hang_tabs(self, level, opnds):
         """(osl, oss, hl, hm, hw, con, hng) per shard for a level."""
         _, tabs = self._lvl(level, opnds)
-        # shard_operands order: cell_map, cwx, cwy, cwz, osl, oss, hl,
-        # hm, hw, con, hng (see DistAdaptivePoisson.shard_operands)
-        osl, oss, hl, hm, hw, con, hng = tabs[4:]
+        # shard_operands order: cell_map, cwx, cwy, cwz, a_jxw, osl, oss,
+        # hl, hm, hw, con, hng (see DistAdaptivePoisson.shard_operands)
+        osl, oss, hl, hm, hw, con, hng = tabs[5:]
         return tuple(t.reshape(t.shape[1:]) for t in (osl, oss, hl, hm, hw, con, hng))
 
     def _tr(self, level, opnds):
