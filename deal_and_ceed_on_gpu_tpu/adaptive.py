@@ -658,19 +658,23 @@ def amr_loop(
     max_iterations: int = 800,
     precond: str = "none",
     dtype=jnp.float64,
+    make_op=None,
 ):
     """The solve -> estimate -> mark -> refine loop. Returns the per-step
     history: dicts with ``space``, ``x``, ``n_dofs``, ``n_cells``,
     ``eta`` (global estimate), ``n_iterations``. ``precond="mg"`` solves
     each step with :class:`~.solvers.AdaptiveMultigrid`-preconditioned CG
-    (level-independent iteration counts) instead of plain merged CG."""
+    (level-independent iteration counts) instead of plain merged CG.
+    ``make_op(space) -> operator`` selects the PDE (default Poisson;
+    pass :class:`AdaptiveHelmholtzOperator` for the step-64 problem)."""
     from .solvers import ReductionControl, solve_cg, solve_cg_merged
 
+    make_op = make_op or AdaptivePoissonOperator
     mesh = AdaptiveMesh.from_brick(base)
     history = []
     for step in range(n_steps + 1):
         space = AdaptiveSpace(mesh, degree, dtype=dtype)
-        op = AdaptivePoissonOperator(space)
+        op = make_op(space)
         b = assemble_rhs_adaptive(space, f)
         control = ReductionControl(
             max_iterations, tolerance=0.0, reduction=reduction
@@ -678,7 +682,7 @@ def amr_loop(
         if precond == "mg" and int(mesh.levels.max()) > 0:
             from .solvers import AdaptiveMultigrid
 
-            mg = AdaptiveMultigrid(space, fine_op=op)
+            mg = AdaptiveMultigrid(space, fine_op=op, make_op=make_op)
             x, info = solve_cg(op.vmult, b, control, diag=mg.vcycle)
         else:
             x, info = solve_cg_merged(op.vmult, b, control)
