@@ -34,6 +34,14 @@ def main():
     )
     ap.add_argument("--dtype", default="float64", choices=("float32", "float64"))
     ap.add_argument(
+        "--reduction",
+        type=float,
+        default=None,
+        help="relative residual target per solve (default 1e-10 for "
+        "float64; 1e-5 for float32, where 1e-10 is unattainable and every "
+        "step would burn the full iteration budget without converging)",
+    )
+    ap.add_argument(
         "--write-solution",
         metavar="PATH.vtu",
         default=None,
@@ -59,6 +67,8 @@ def main():
         theta=args.theta,
         precond=args.precond,
         dtype=args.dtype,
+        reduction=args.reduction
+        or (1e-10 if args.dtype == "float64" else 1e-5),
     )
     pcout(f"{'step':>4} {'cells':>8} {'DoFs':>9} {'CG its':>7} {'estimate':>12}")
     for k, h in enumerate(hist):

@@ -45,6 +45,81 @@ from ..solvers.control import SolverControl
 __all__ = ["AdaptivePartition", "DistAdaptivePoisson", "solve_cg_merged_dist_adaptive"]
 
 
+def pack_by_owner(owner_of_item, arrays, fills, n_shards, min_len=1):
+    """Pack per-item rows into ``[n_shards, L, ...]`` tables, ascending
+    item order within each owner (one vectorized fancy-index assignment —
+    the per-cell Python loop version cost minutes at 10^5-cell setups).
+
+    Returns the packed arrays; ``L = max(min_len, max items/owner)``;
+    pad rows hold ``fills[i]``.
+    """
+    owner_of_item = np.asarray(owner_of_item, dtype=np.int64)
+    n = owner_of_item.size
+    counts = np.bincount(owner_of_item, minlength=n_shards)
+    L = max(min_len, int(counts.max()) if n else 0)
+    order = np.argsort(owner_of_item, kind="stable")
+    starts = np.zeros(n_shards + 1, dtype=np.int64)
+    starts[1:] = np.cumsum(counts)
+    ow = owner_of_item[order]
+    intra = np.arange(n, dtype=np.int64) - starts[ow]
+    outs = []
+    for arr, fill in zip(arrays, fills):
+        arr = np.asarray(arr)
+        out = np.full((n_shards, L) + arr.shape[1:], fill, dtype=arr.dtype)
+        out[ow, intra] = arr[order]
+        outs.append(out)
+    return outs
+
+
+def build_sigma_exchange(sigma, owner, n_loc, n_shards):
+    """Per-shard owned<->SIGMA exchange tables for any SIGMA set:
+    ``(osl, oss)`` with ``osl[k, i]`` the owner-local index (pad -> dead
+    slot ``n_loc``) and ``oss[k, i]`` the sigma slot (pad -> trash ``S``).
+    Shared by the operator's SIGMA and the MG transfer SIGMA."""
+    sigma = np.asarray(sigma, dtype=np.int64)
+    S = sigma.size
+    loc = (sigma - owner[sigma] * n_loc).astype(np.int32)
+    slots = np.arange(S, dtype=np.int32)
+    osl, oss = pack_by_owner(
+        owner[sigma] if S else np.zeros(0, np.int64),
+        [loc, slots],
+        [np.int32(n_loc), np.int32(S)],
+        n_shards,
+    )
+    return jnp.asarray(osl), jnp.asarray(oss)
+
+
+def _exchange(vals_dead, osl, oss, S, ax, dtype):
+    """owned values (dead slot last) -> replicated SIGMA ``[S + 1]``."""
+    sig = jnp.zeros((S + 1,), dtype).at[oss].set(vals_dead[osl])
+    return jax.lax.psum(sig, ax)
+
+
+def _hang_fill(u_dead, osl, oss, hl, hm, hw, n_loc, S, ax):
+    """distribute: hanging rows <- sum of master weights (one SIGMA round;
+    masters are conforming, chains pre-resolved)."""
+    sig = _exchange(u_dead, osl, oss, S, ax, u_dead.dtype)
+    u_cat = jnp.concatenate([u_dead[:n_loc], sig[:S], u_dead[n_loc:]])
+    hv = jnp.sum(hw * u_cat[hm], axis=-1)
+    return u_dead.at[hl].set(hv)
+
+
+def _hang_fill_T(r_dead, osl, oss, hl, hm, hw, hng, n_loc, S, ax):
+    """EXACT transpose of :func:`_hang_fill` (condense): hanging
+    cotangents flow to their possibly-remote masters, hanging rows zero
+    out. Used by both the operator apply and the MG transfers."""
+    res_h = r_dead[hl]
+    c_cat = (
+        jnp.zeros((n_loc + S + 1,), r_dead.dtype)
+        .at[hm.reshape(-1)]
+        .add((hw * res_h[..., None]).reshape(-1))
+    )
+    sig_c = jax.lax.psum(c_cat[n_loc:], ax)
+    r1 = r_dead + c_cat[: n_loc + 1].at[n_loc].set(0.0)
+    r1 = r1.at[osl].add(sig_c[oss])
+    return jnp.where(hng, jnp.zeros((), r1.dtype), r1)
+
+
 class AdaptivePartition:
     """Host-side construction of the distributed tables for an
     :class:`AdaptiveSpace` over ``n_shards`` devices."""
@@ -73,92 +148,79 @@ class AdaptivePartition:
         hang_cols = self.perm[np.asarray(space.hang_cols, dtype=np.int64)]
         hang_w = np.asarray(space.hang_w, dtype=np.float64)
 
-        # ---- SIGMA: every DoF referenced by a non-owner ----
-        sigma = set()
-        for e in range(n_cells):
-            o = int(cell_owner[e])
-            for d in dof_map[e]:
-                if owner[d] != o:
-                    sigma.add(int(d))
-        for h, m in zip(hang_rows, hang_cols):
-            if owner[m] != owner[h]:
-                sigma.add(int(m))
-        sigma = np.asarray(sorted(sigma), dtype=np.int64)
+        # ---- SIGMA: every DoF referenced by a non-owner (vectorized) ----
+        remote_cell = owner[dof_map] != cell_owner[:, None]  # [E, p1^3]
+        sigma = np.unique(dof_map[remote_cell])
+        if hang_rows.size:
+            rm = owner[hang_cols] != owner[hang_rows]
+            sigma = np.union1d(sigma, hang_cols[rm])
+        sigma = sigma.astype(np.int64)
         S = sigma.size
         self.n_sigma = S
-        sigma_slot = {int(d): s for s, d in enumerate(sigma)}
+        slot = np.full(self.n_pad, -1, dtype=np.int64)
+        slot[sigma] = np.arange(S)
         # host-side tables reused by the level-transfer builders
         # (parallel/dist_adaptive_mg.py): permuted-DoF owners, per-cell
-        # owners, and the sigma set/slots
+        # owners, and the sigma set
         self.owner = owner
         self.cell_owner = cell_owner
         self.sigma = sigma
-        self.sigma_slot = sigma_slot
 
         # index space per shard: [0, n_loc) owned | [n_loc, n_loc+S) sigma
         # | n_loc+S trash
         trash = n_loc + S
 
-        def remap(d, k):
-            d = int(d)
-            if d in sigma_slot:
-                return n_loc + sigma_slot[d]
-            assert owner[d] == k, "non-sigma dof referenced by non-owner"
-            return d - k * n_loc
-
         # ---- per-shard cell tables (padded with dead cells) ----
-        E_loc = max(1, int(np.bincount(cell_owner, minlength=n_shards).max()))
-        cmap = np.full((n_shards, E_loc, dof_map.shape[1]), trash, dtype=np.int32)
+        in_sig = slot[dof_map] >= 0
+        assert (remote_cell <= in_sig).all(), "non-sigma dof referenced by non-owner"
+        g = np.where(
+            in_sig, n_loc + slot[dof_map], dof_map - cell_owner[:, None] * n_loc
+        ).astype(np.int32)
         h = space.mesh.sizes
         det = h.prod(axis=1)
         md = np.stack(
             [det / h[:, 0] ** 2, det / h[:, 1] ** 2, det / h[:, 2] ** 2], -1
         )
-        coef = np.zeros((n_shards, E_loc, 3))
-        counts = np.zeros(n_shards, dtype=np.int64)
-        for e in range(n_cells):
-            k = int(cell_owner[e])
-            i = counts[k]
-            counts[k] += 1
-            cmap[k, i] = [remap(d, k) for d in dof_map[e]]
-            coef[k, i] = md[e]
+        cmap, coef = pack_by_owner(
+            cell_owner, [g, md], [np.int32(trash), 0.0], n_shards
+        )
         self.cell_map = jnp.asarray(cmap)
         self.cell_coef = coef  # numpy; dtype applied by the operator
 
         # ---- per-shard owned<->sigma exchange tables ----
-        own_counts = np.bincount(owner[sigma], minlength=n_shards)
-        M = max(1, int(own_counts.max()))
-        own_sig_local = np.full((n_shards, M), n_loc, dtype=np.int32)  # pad->dead
-        own_sig_slot = np.full((n_shards, M), S, dtype=np.int32)  # pad->trash
-        fill = np.zeros(n_shards, dtype=np.int64)
-        for s, d in enumerate(sigma):
-            k = int(owner[d])
-            i = fill[k]
-            fill[k] += 1
-            own_sig_local[k, i] = d - k * n_loc
-            own_sig_slot[k, i] = s
-        self.own_sig_local = jnp.asarray(own_sig_local)
-        self.own_sig_slot = jnp.asarray(own_sig_slot)
+        self.own_sig_local, self.own_sig_slot = build_sigma_exchange(
+            sigma, owner, n_loc, n_shards
+        )
 
         # ---- per-shard hanging tables (owner-side rows) ----
-        h_counts = np.bincount(owner[hang_rows], minlength=n_shards) if hang_rows.size else np.zeros(n_shards, dtype=np.int64)
-        Hm = max(1, int(h_counts.max()) if hang_rows.size else 1)
-        rows_by = {}
-        for idx in range(hang_rows.size):
-            rows_by.setdefault(int(hang_rows[idx]), []).append(idx)
-        K = max([len(v) for v in rows_by.values()] + [1])
-        h_local = np.full((n_shards, Hm), n_loc, dtype=np.int32)  # pad->dead
-        h_masters = np.full((n_shards, Hm, K), trash, dtype=np.int32)
-        h_weights = np.zeros((n_shards, Hm, K))
-        fill = np.zeros(n_shards, dtype=np.int64)
-        for hdof, idxs in rows_by.items():
-            k = int(owner[hdof])
-            i = fill[k]
-            fill[k] += 1
-            h_local[k, i] = hdof - k * n_loc
-            for j, idx in enumerate(idxs):
-                h_masters[k, i, j] = remap(hang_cols[idx], k)
-                h_weights[k, i, j] = hang_w[idx]
+        # group the (row, master, weight) triplets by unique hanging row,
+        # then pack rows by owner — all fancy-index assignments
+        uh, inv_h = (
+            np.unique(hang_rows, return_inverse=True)
+            if hang_rows.size
+            else (np.zeros(0, np.int64), np.zeros(0, np.int64))
+        )
+        counts_h = np.bincount(inv_h, minlength=uh.size)
+        K = max(1, int(counts_h.max()) if uh.size else 1)
+        order_h = np.argsort(inv_h, kind="stable")
+        starts_h = np.zeros(uh.size + 1, dtype=np.int64)
+        starts_h[1:] = np.cumsum(counts_h)
+        jrank = np.arange(inv_h.size) - starts_h[inv_h[order_h]]
+        k_row = owner[hang_rows] if hang_rows.size else np.zeros(0, np.int64)
+        rc_sig = slot[hang_cols] >= 0 if hang_rows.size else np.zeros(0, bool)
+        rc = np.where(
+            rc_sig, n_loc + slot[hang_cols], hang_cols - k_row * n_loc
+        ).astype(np.int32)
+        masters_d = np.full((uh.size, K), trash, dtype=np.int32)
+        weights_d = np.zeros((uh.size, K))
+        masters_d[inv_h[order_h], jrank] = rc[order_h]
+        weights_d[inv_h[order_h], jrank] = hang_w[order_h]
+        h_local, h_masters, h_weights = pack_by_owner(
+            owner[uh] if uh.size else np.zeros(0, np.int64),
+            [(uh - owner[uh] * n_loc).astype(np.int32), masters_d, weights_d],
+            [np.int32(n_loc), np.int32(trash), 0.0],
+            n_shards,
+        )
         self.h_local = jnp.asarray(h_local)
         self.h_masters = jnp.asarray(h_masters)
         self.h_weights = h_weights  # numpy; dtype applied by the operator
@@ -213,17 +275,13 @@ class DistAdaptivePoisson:
         if a is not None:
             from ..adaptive import _cell_qpoints
 
-            q1 = b.n_q
             aq = np.asarray(a(_cell_qpoints(space)), dtype=np.float64)
             det = space.mesh.sizes.prod(axis=1)
             a_jxw = aq * det[:, None, None, None] * w3
-            n_sh, E_loc = part.cell_map.shape[:2]
-            packed = np.zeros((n_sh, E_loc, q1, q1, q1))
-            counts = np.zeros(n_sh, dtype=np.int64)
-            for e in range(space.mesh.n_cells):
-                k = int(part.cell_owner[e])
-                packed[k, counts[k]] = a_jxw[e]
-                counts[k] += 1
+            (packed,) = pack_by_owner(
+                part.cell_owner, [a_jxw], [0.0], part.n_shards,
+                min_len=part.cell_map.shape[1],
+            )
             self._a_jxw = jnp.asarray(packed, dtype=dtype)
         else:
             # fixed-shape placeholder so the operand list is static
@@ -232,6 +290,14 @@ class DistAdaptivePoisson:
             )
         self.h_weights = jnp.asarray(part.h_weights, dtype=dtype)
         self._solver_cache = {}
+
+    #: shard_operands tuple order — downstream consumers (the distributed
+    #: MG's table slicing) resolve positions by name from this, never by
+    #: magic index
+    OPERAND_NAMES = (
+        "cell_map", "cwx", "cwy", "cwz", "a_jxw",
+        "osl", "oss", "hl", "hm", "hw", "con", "hng",
+    )
 
     @property
     def shard_operands(self):
@@ -274,21 +340,12 @@ class DistAdaptivePoisson:
         )
         zero = jnp.zeros((), u.dtype)
 
-        def exchange(vals_with_dead):
-            """owned values (incl. dead slot) -> replicated SIGMA [S+1]."""
-            sig = jnp.zeros((S + 1,), u.dtype).at[oss].set(vals_with_dead[osl])
-            return jax.lax.psum(sig, ax)
-
-        def cat(owned_dead, sigma):
-            # [n_loc | S | trash]; owned_dead = [n_loc + 1] (dead slot last)
-            return jnp.concatenate([owned_dead[:n_loc], sigma[:S], owned_dead[n_loc:]])
-
         u1 = jnp.where(con[: n_loc + 1], zero, jnp.pad(u, (0, 1)))
         # hanging fill (distribute): masters are conforming, one round
-        u_cat = cat(u1, exchange(u1))
-        hv = jnp.sum(hw * u_cat[hm], axis=-1)
-        u1 = u1.at[hl].set(hv)
-        u_cat = cat(u1, exchange(u1))
+        u1 = _hang_fill(u1, osl, oss, hl, hm, hw, n_loc, S, ax)
+        u_cat = jnp.concatenate(
+            [u1[:n_loc], _exchange(u1, osl, oss, S, ax, u.dtype)[:S], u1[n_loc:]]
+        )
 
         # cell loop (dead cells have zero coefficients)
         ul = u_cat[cmap].reshape(cmap.shape[0], *([self.S.shape[1]] * 3))
@@ -312,17 +369,11 @@ class DistAdaptivePoisson:
         sig_v = jax.lax.psum(v_cat[n_loc : n_loc + S + 1], ax)
         v1 = jnp.pad(v_cat[:n_loc], (0, 1)).at[osl].add(sig_v[oss])
 
-        # condense (transpose): hanging residuals -> masters (maybe remote)
-        res_h = v1[hl]
-        c_cat = (
-            jnp.zeros((n_loc + S + 1,), u.dtype)
-            .at[hm.reshape(-1)]
-            .add((hw * res_h[:, None]).reshape(-1))
+        # condense (transpose of the fill): hanging residuals -> masters
+        # (maybe remote), hanging rows zeroed
+        v1 = _hang_fill_T(
+            v1, osl, oss, hl, hm, hw, hng[: n_loc + 1], n_loc, S, ax
         )
-        sig_c = jax.lax.psum(c_cat[n_loc : n_loc + S + 1], ax)
-        v1 = v1 + c_cat[: n_loc + 1]
-        v1 = v1.at[osl].add(sig_c[oss])
-        v1 = jnp.where(hng[: n_loc + 1], zero, v1)
 
         out = jnp.where(con[: n_loc + 1], jnp.pad(u, (0, 1)), v1)
         return out[:n_loc]

@@ -48,6 +48,7 @@ from ..solvers.adaptive_mg import (
     _embed_mats,
     _power_bounds,
     adaptive_hierarchy,
+    dense_coarse_inverse,
 )
 from ..solvers.cg import solve_cg
 from ..solvers.control import SolverControl
@@ -55,7 +56,12 @@ from ..solvers.multigrid import chebyshev_smooth
 from .dist_adaptive import (
     AdaptivePartition,
     DistAdaptivePoisson,
+    _exchange,
+    _hang_fill,
+    _hang_fill_T,
+    build_sigma_exchange,
     make_device_mesh_1d,
+    pack_by_owner,
 )
 
 __all__ = ["DistAdaptiveMultigrid", "solve_cg_mg_dist_adaptive"]
@@ -79,7 +85,6 @@ class _Transfer:
     ):
         fine, coarse = part_f.space, part_c.space
         n_sh = part_f.n_shards
-        P3 = (fine.degree + 1) ** 3
 
         dof_map_c = part_c.perm[coarse._dof_map_np]  # coarse new ids
         cmap_src = dof_map_c[np.asarray(src_cell)]  # [E_f, P3]
@@ -96,37 +101,27 @@ class _Transfer:
         slotT[sigT] = np.arange(S_T)
         trash_c = part_c.n_loc + S_T
 
-        # per-cell coarse gather ids in [owned_c | SIGMA_T | trash]
+        # per-cell coarse gather ids in [owned_c | SIGMA_T | trash],
+        # packed per owner in the SAME order as part_f.cell_map
         local = cmap_src - cell_owner[:, None] * part_c.n_loc
-        g = np.where(remote, part_c.n_loc + slotT[cmap_src], local)
-
+        g = np.where(remote, part_c.n_loc + slotT[cmap_src], local).astype(
+            np.int32
+        )
         E_loc = part_f.cell_map.shape[1]
-        tc = np.full((n_sh, E_loc, P3), trash_c, dtype=np.int32)
-        pk = np.zeros((n_sh, E_loc, 3), dtype=np.int32)
-        counts = np.zeros(n_sh, dtype=np.int64)
-        for e in range(fine.mesh.n_cells):
-            k = int(cell_owner[e])
-            i = counts[k]
-            counts[k] += 1
-            tc[k, i] = g[e]
-            pk[k, i] = axis_pick[e]
+        tc, pk = pack_by_owner(
+            cell_owner,
+            [g, np.asarray(axis_pick, dtype=np.int32)],
+            [np.int32(trash_c), np.int32(0)],
+            n_sh,
+            min_len=E_loc,
+        )
         self.tc_map = jnp.asarray(tc)
         self.pick = jnp.asarray(pk)
 
         # coarse owned <-> SIGMA_T exchange tables
-        own_counts = np.bincount(owner_c[sigT], minlength=n_sh)
-        M = max(1, int(own_counts.max()) if S_T else 1)
-        oslT = np.full((n_sh, M), part_c.n_loc, dtype=np.int32)  # pad->dead
-        ossT = np.full((n_sh, M), S_T, dtype=np.int32)  # pad->trash
-        fill = np.zeros(n_sh, dtype=np.int64)
-        for s, d in enumerate(sigT):
-            k = int(owner_c[d])
-            i = fill[k]
-            fill[k] += 1
-            oslT[k, i] = d - k * part_c.n_loc
-            ossT[k, i] = s
-        self.oslT = jnp.asarray(oslT)
-        self.ossT = jnp.asarray(ossT)
+        self.oslT, self.ossT = build_sigma_exchange(
+            sigT, owner_c, part_c.n_loc, n_sh
+        )
 
         # fine global DoF multiplicity (duplicate-write averaging) and
         # BOUNDARY-only mask, as owned slabs with a dead slot
@@ -150,36 +145,6 @@ class _Transfer:
 
     def operands(self, inv_mult):
         return (self.tc_map, self.pick, self.oslT, self.ossT, inv_mult, self.bnd)
-
-
-def _exchange(vals_dead, osl, oss, S, ax, dtype):
-    """owned values (dead slot last) -> replicated SIGMA [S+1]."""
-    sig = jnp.zeros((S + 1,), dtype).at[oss].set(vals_dead[osl])
-    return lax.psum(sig, ax)
-
-
-def _hang_fill(u_dead, osl, oss, hl, hm, hw, n_loc, S, ax):
-    """distribute: hanging rows <- sum of master weights (one SIGMA round;
-    masters are conforming, chains pre-resolved)."""
-    sig = _exchange(u_dead, osl, oss, S, ax, u_dead.dtype)
-    u_cat = jnp.concatenate([u_dead[:n_loc], sig[:S], u_dead[n_loc:]])
-    hv = jnp.sum(hw * u_cat[hm], axis=-1)
-    return u_dead.at[hl].set(hv)
-
-
-def _hang_fill_T(r_dead, osl, oss, hl, hm, hw, hng, n_loc, S, ax):
-    """EXACT transpose of :func:`_hang_fill`: hanging cotangents flow to
-    their (possibly remote) masters, hanging rows zero out."""
-    res_h = r_dead[hl]
-    c_cat = (
-        jnp.zeros((n_loc + S + 1,), r_dead.dtype)
-        .at[hm.reshape(-1)]
-        .add((hw * res_h[..., None]).reshape(-1))
-    )
-    sig_c = lax.psum(c_cat[n_loc:], ax)
-    r1 = r_dead + c_cat[: n_loc + 1].at[n_loc].set(0.0)
-    r1 = r1.at[osl].add(sig_c[oss])
-    return jnp.where(hng, jnp.zeros((), r1.dtype), r1)
 
 
 class DistAdaptiveMultigrid:
@@ -215,12 +180,6 @@ class DistAdaptiveMultigrid:
             for m in meshes[1:]
         ]
         cs = self.spaces[-1]
-        if cs.n_dofs > coarse_max_dofs:
-            raise ValueError(
-                f"adaptive MG coarse level has {cs.n_dofs} DoFs > "
-                f"coarse_max_dofs={coarse_max_dofs}; refine from a smaller "
-                "base brick"
-            )
         self.parts = [part] + [
             AdaptivePartition(s, n_sh, axis_name=ax) for s in self.spaces[1:]
         ]
@@ -249,10 +208,11 @@ class DistAdaptiveMultigrid:
             slab[slab == 0.0] = 1.0  # identity on dead padding
             self._dinv_slabs.append(jnp.asarray(slab, dtype=dtype))
 
-        # permuted + padded dense coarse inverse (replicated operand)
-        eye = jnp.eye(cs.n_dofs, dtype=space.dtype)
-        A_c = np.asarray(jax.vmap(gops[-1].vmult)(eye), dtype=np.float64).T
-        A_inv = np.linalg.inv(A_c)
+        # permuted + padded dense coarse inverse (replicated operand; the
+        # lower default cap vs the single-device class reflects that B is
+        # an [n_pad, n_pad] operand REPLICATED on every shard and applied
+        # after an all_gather per V-cycle)
+        A_inv = dense_coarse_inverse(gops[-1], coarse_max_dofs)
         pc = self.parts[-1]
         B = np.zeros((pc.n_pad, pc.n_pad))
         B[np.ix_(pc.perm, pc.perm)] = A_inv
@@ -305,12 +265,13 @@ class DistAdaptiveMultigrid:
             return dinv, tabs
         return None, opnds[start : start + count]
 
+    _HANG_START = DistAdaptivePoisson.OPERAND_NAMES.index("osl")
+
     def _hang_tabs(self, level, opnds):
-        """(osl, oss, hl, hm, hw, con, hng) per shard for a level."""
+        """(osl, oss, hl, hm, hw, con, hng) per shard for a level —
+        positions resolved by name from the operator's OPERAND_NAMES."""
         _, tabs = self._lvl(level, opnds)
-        # shard_operands order: cell_map, cwx, cwy, cwz, a_jxw, osl, oss,
-        # hl, hm, hw, con, hng (see DistAdaptivePoisson.shard_operands)
-        osl, oss, hl, hm, hw, con, hng = tabs[5:]
+        osl, oss, hl, hm, hw, con, hng = tabs[self._HANG_START :]
         return tuple(t.reshape(t.shape[1:]) for t in (osl, oss, hl, hm, hw, con, hng))
 
     def _tr(self, level, opnds):

@@ -50,6 +50,23 @@ from .multigrid import chebyshev_smooth
 __all__ = ["coarsen_adaptive", "adaptive_hierarchy", "AdaptiveMultigrid"]
 
 
+def dense_coarse_inverse(op, coarse_max_dofs: int) -> np.ndarray:
+    """Materialize the (conforming base-brick) coarse operator by one
+    vmapped vmult over identity columns and invert it densely in f64.
+    Shared by the single-device and distributed adaptive MG; raises when
+    the base brick is too large for a dense coarse solve."""
+    cs = op.space
+    if cs.n_dofs > coarse_max_dofs:
+        raise ValueError(
+            f"adaptive MG coarse level has {cs.n_dofs} DoFs > "
+            f"coarse_max_dofs={coarse_max_dofs}; refine from a smaller "
+            "base brick"
+        )
+    eye = jnp.eye(cs.n_dofs, dtype=cs.dtype)
+    A_c = np.asarray(jax.vmap(op.vmult)(eye), dtype=np.float64).T
+    return np.linalg.inv(A_c)
+
+
 def coarsen_adaptive(mesh: AdaptiveMesh):
     """One global-coarsening step: replace every finest-level cell octet
     with its parent. Returns ``(coarse_mesh, src_cell, axis_pick)`` where
@@ -187,12 +204,6 @@ class AdaptiveMultigrid:
         ]
         self.n_smooth = n_smooth
         cs = self.spaces[-1]
-        if cs.n_dofs > coarse_max_dofs:
-            raise ValueError(
-                f"adaptive MG coarse level has {cs.n_dofs} DoFs > "
-                f"coarse_max_dofs={coarse_max_dofs}; refine from a smaller "
-                "base brick"
-            )
 
         self.prolongs = []
         self.restricts = []
@@ -224,11 +235,10 @@ class AdaptiveMultigrid:
         ]
 
         # dense coarse inverse (conforming base brick)
-        eye = jnp.eye(cs.n_dofs, dtype=space.dtype)
-        A_c = np.asarray(
-            jax.vmap(self.ops[-1].vmult)(eye), dtype=np.float64
-        ).T
-        self._coarse_inv = jnp.asarray(np.linalg.inv(A_c), dtype=space.dtype)
+        self._coarse_inv = jnp.asarray(
+            dense_coarse_inverse(self.ops[-1], coarse_max_dofs),
+            dtype=space.dtype,
+        )
 
     @staticmethod
     def _level_dinv(op: AdaptivePoissonOperator) -> jnp.ndarray:
