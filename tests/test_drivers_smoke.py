@@ -56,3 +56,27 @@ def test_bp5_pallas_general_backend_cycle_smoke():
     )
     res = bp5.run_cycle(8, cfg)
     assert res["pcg-merged"] > 0 and np.isfinite(res["l2_norm"])
+
+
+def test_amr_driver_cli_smoke(tmp_path, monkeypatch, capsys):
+    """The AMR CLI end-to-end: MG preconditioner, f32 reduction default,
+    and VTU output all work through main()."""
+    import sys
+
+    from deal_and_ceed_on_gpu_tpu.drivers import amr
+
+    out = tmp_path / "sol.vtu"
+    monkeypatch.setattr(
+        sys, "argv",
+        ["amr", "--base", "3", "--steps", "1", "--precond", "mg",
+         "--dtype", "float32", "--write-solution", str(out)],
+    )
+    amr.main()
+    text = capsys.readouterr().out
+    assert "estimate" in text and str(out) in text
+    assert out.exists() and out.stat().st_size > 0
+    # the f32 default target (1e-5) must actually converge: no step may
+    # burn the full 800-iteration budget
+    its = [int(line.split()[3]) for line in text.splitlines()
+           if line.strip() and line.split()[0].isdigit()]
+    assert its and max(its) < 800
