@@ -5,6 +5,7 @@ from .dist_adaptive import (
     solve_cg_merged_dist_adaptive,
 )
 from .dist_adaptive_mg import DistAdaptiveMultigrid, solve_cg_mg_dist_adaptive
+from .dist_amr import amr_loop_distributed
 from .dist_fdm import DistFDM, solve_cg_fdm_dist
 from .dist_multigrid import DistMultigrid, solve_cg_mg_dist
 from .dist_operator import DistOperator, DistPoissonOperator, halo_combine
@@ -24,6 +25,7 @@ __all__ = [
     "solve_cg_merged_dist_adaptive",
     "DistAdaptiveMultigrid",
     "solve_cg_mg_dist_adaptive",
+    "amr_loop_distributed",
     "DistFDM",
     "DistMultigrid",
     "DistOperator",

@@ -177,3 +177,27 @@ def test_dist_adaptive_helmholtz_vmult_and_mgcg():
         part.from_shards(np.asarray(x_sh)), np.asarray(x_s),
         rtol=1e-9, atol=1e-10,
     )
+
+
+def test_amr_loop_distributed_matches_single():
+    """The distributed AMR loop reproduces the single-device loop exactly:
+    same refinement decisions (cell/DoF counts), same estimates, and
+    MG-level iteration counts."""
+    from deal_and_ceed_on_gpu_tpu.adaptive import amr_loop
+    from deal_and_ceed_on_gpu_tpu.parallel import amr_loop_distributed
+
+    def f(x):
+        return np.exp(-((x - 0.75) ** 2).sum(axis=-1) / 0.05)
+
+    kw = dict(f=f, n_steps=2, theta=0.4, reduction=1e-9, max_iterations=400)
+    single = amr_loop(BrickMesh((2, 2, 2)), 2, precond="mg", **kw)
+    dist = amr_loop_distributed(BrickMesh((2, 2, 2)), 2, 4, precond="mg", **kw)
+    assert len(dist) == len(single) == 3
+    for hs, hd in zip(single, dist):
+        assert hd["n_cells"] == hs["n_cells"]
+        assert hd["n_dofs"] == hs["n_dofs"]
+        np.testing.assert_allclose(hd["eta"], hs["eta"], rtol=1e-7)
+        np.testing.assert_allclose(
+            np.asarray(hd["x"]), np.asarray(hs["x"]), rtol=1e-6, atol=1e-9
+        )
+    assert dist[-1]["n_iterations"] <= 25  # level-independent MG at scale
