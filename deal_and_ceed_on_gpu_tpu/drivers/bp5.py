@@ -470,13 +470,30 @@ def main():
         backend=args.backend,
         modes=tuple(args.modes.split(",")),
         mxu_precision=args.mxu_precision,
-        # measured-fastest v5e stencil tiles (RESULTS.md sweep)
+        # measured-fastest v5e stencil tiles (RESULTS.md sweep); the
+        # general kernel fixes its MXU precision at construction, so the
+        # --mxu-precision flag must be forwarded here (set_matmul_precision
+        # only reaches the XLA sum-factorization sweeps)
         pallas_opts=(
             dict(block_y=96, vmem_limit_bytes=100 << 20)
             if args.backend == "pallas"
+            else dict(precision=args.mxu_precision)
+            if args.backend == "pallas_general"
             else None
         ),
     )
+    if (
+        args.backend == "pallas_general"
+        and args.mxu_precision != "highest"
+        and set(cfg.modes) - {"vmult"}
+    ):
+        pcout(
+            "WARNING: the pallas_general kernel fixes MXU precision at "
+            "construction — with --mxu-precision "
+            f"{args.mxu_precision!r} the pcg solves/validation in this "
+            "invocation also run at reduced precision (unlike the XLA "
+            "backends, where it is scoped to the vmult benchmark)"
+        )
     parts = [int(s) for s in args.shards.split("x")]
     pz, py, px = (parts + [1, 1])[:3]
     if pz * py * px > 1:

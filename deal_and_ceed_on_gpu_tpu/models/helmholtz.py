@@ -87,6 +87,14 @@ class HelmholtzOperator(MatrixFreeOperator):
             from ..ops.pallas_general import build_general_operator
 
             super().__init__(space, backend)
+            # the a(x)*JxW value table is position-dependent on EVERY mesh
+            # and lives inside the kernel operator (not a sliceable named
+            # table), so this backend cannot ride the shard-table path
+            self._dist_unsupported = (
+                "pallas_general Helmholtz streams a position-dependent "
+                "a(x)*JxW value table inside the kernel; use "
+                "backend='structured' for the distributed operator"
+            )
             geo = space.geometry
             xq = geo.q_points_phys()
             a_q = np.asarray(coefficient_fn(xq), dtype=np.float64)

@@ -191,6 +191,12 @@ class MatrixFreeOperator:
         vmult benchmark (``bp5/step-64.cu:519-548``) does not pay."""
         self._apply_fold_scale(s)
         self._fold_factor *= s
+        # the eager-solve jit cache keys on operator IDENTITY and bakes the
+        # (pre-scaling) tables into its executables — drop it so a later
+        # eager solve on this operator cannot return stale results
+        from ..solvers._dispatch import invalidate_cache
+
+        invalidate_cache()
 
     def _apply_fold_scale(self, s: float) -> None:
         """Subclass hook: rescale the coefficient tables by ``s``."""

@@ -159,9 +159,9 @@ def _gen_call(u_local, tabs, streamed, *, shapes, grad_kind, val_kind,
             operands.append(tabs["cw"])
             in_specs.append(full)
         else:
-            C = streamed["C"]  # [K, E, Q]
+            C = streamed["C"]  # [K, Ep, Q], padded at construction
             K = C.shape[0]
-            operands.append(jnp.pad(C, ((0, 0), (0, Ep - E), (0, 0))))
+            operands.append(C)
             in_specs.append(pl.BlockSpec((K, BE, Q), lambda e: (0, e, 0)))
     if val_kind:
         operands.append(tabs["V"])
@@ -170,8 +170,8 @@ def _gen_call(u_local, tabs, streamed, *, shapes, grad_kind, val_kind,
             operands.append(tabs["vw"])
             in_specs.append(full)
         else:
-            av = streamed["av"]  # [E, Q]
-            operands.append(jnp.pad(av, ((0, Ep - E), (0, 0))))
+            av = streamed["av"]  # [Ep, Q], padded at construction
+            operands.append(av)
             in_specs.append(pl.BlockSpec((BE, Q), lambda e: (e, 0)))
 
     kernel = functools.partial(
@@ -257,7 +257,13 @@ class build_general_operator:
                 self.grad_kind = 2 if mode == "diag3" else 3
                 C = np.asarray(data)
                 assert C.shape == (E, Q, 3 if mode == "diag3" else 6), C.shape
-                streamed["C"] = jnp.asarray(np.moveaxis(C, 2, 0), dt)
+                # pad to the block grid ONCE here — padding inside the
+                # jitted apply re-copied the full [K, E, Q] table every
+                # call (hundreds of MB at 4M DoFs)
+                Ep = _round_up(E, self._BE)
+                Cp = np.zeros((C.shape[2], Ep, Q), dtype=C.dtype)
+                Cp[:, :E] = np.moveaxis(C, 2, 0)
+                streamed["C"] = jnp.asarray(Cp, dt)
             else:
                 raise ValueError(f"unknown grad mode {mode!r}")
         if val is not None:
@@ -269,7 +275,10 @@ class build_general_operator:
             elif mode == "table":
                 self.val_kind = 2
                 a = np.asarray(data).reshape(E, Q)
-                streamed["av"] = jnp.asarray(a, dt)
+                Ep = _round_up(E, self._BE)
+                ap = np.zeros((Ep, Q), dtype=a.dtype)
+                ap[:E] = a
+                streamed["av"] = jnp.asarray(ap, dt)
             else:
                 raise ValueError(f"unknown val mode {mode!r}")
         if not (self.grad_kind or self.val_kind):

@@ -107,6 +107,13 @@ class DistMultigrid:
     ):
         self.smooth_degree = smooth_degree
         self.dtype = jnp.dtype(dtype)
+        if part.px > 1:
+            raise ValueError(
+                "DistMultigrid partitions z/y only; x-partitioned (3D) "
+                "BlockPartitions are supported by DistOperator but the "
+                "level hierarchy does not propagate the x axis yet — "
+                "use px=1 (same device count via larger pz*py)"
+            )
 
         # ---------------- level hierarchy ---------------- #
         parts = [part]
@@ -166,7 +173,7 @@ class DistMultigrid:
         # via weak_form; f64 factorization)
         from ..models.operator_base import assemble_dense
 
-        A_c = assemble_dense(gops[-1][1])
+        A_c = assemble_dense(gops[-1][1], max_dofs=max(coarse_max_dofs, 8000))
         self._coarse_inv = jnp.asarray(np.linalg.inv(A_c), dtype=dtype)
         self.bounds = [bounds_from_dense(A_c, smoothing_range)] * (
             len(parts) - 1

@@ -32,7 +32,15 @@ import functools
 
 import jax
 
-__all__ = ["dispatch"]
+__all__ = ["dispatch", "invalidate_cache"]
+
+
+def invalidate_cache() -> None:
+    """Drop every cached solver executable. Called by in-place operator
+    mutation (``fold_scale``) — the cache keys on operator identity, so a
+    mutated operator would otherwise keep hitting executables built from
+    its OLD tables and return silently stale solves."""
+    _compiled.cache_clear()
 
 
 def _hashable(x) -> bool:

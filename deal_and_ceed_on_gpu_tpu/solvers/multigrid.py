@@ -269,7 +269,19 @@ class Multigrid:
         # through the tunneled dev chip)
         from ..models.operator_base import assemble_dense
 
-        A_c = assemble_dense(self.ops[-1])
+        try:
+            A_c = assemble_dense(
+                self.ops[-1], max_dofs=max(coarse_max_dofs, 8000)
+            )
+        except NotImplementedError:
+            # operators without a weak_form() (custom quad-point bodies)
+            # keep the make_op contract via the vmapped vmult-over-identity
+            # materialization — slower setup, same matrix
+            n_c = spaces[-1].n_dofs
+            eye = jnp.eye(n_c, dtype=spaces[-1].dtype)
+            A_c = np.asarray(
+                jax.vmap(self.ops[-1].vmult)(eye), dtype=np.float64
+            ).T
         self._coarse_inv = jnp.asarray(
             np.linalg.inv(A_c), dtype=spaces[-1].dtype
         )
@@ -285,8 +297,18 @@ class Multigrid:
                 _chebyshev_bounds(op.vmult, dinv, s, smoothing_range)
                 for op, dinv, s in zip(self.ops[:-1], self.dinv, spaces[:-1])
             ]
+        elif isinstance(bounds, str):
+            raise ValueError(
+                f"bounds={bounds!r}: expected 'coarse', 'per-level', or an "
+                "explicit (lam_min, lam_max) pair"
+            )
         else:  # explicit (lam_min, lam_max)
-            self.bounds = [tuple(bounds)] * (len(self.ops) - 1)
+            lam = tuple(float(v) for v in bounds)
+            if len(lam) != 2:
+                raise ValueError(
+                    f"explicit bounds must be (lam_min, lam_max), got {bounds!r}"
+                )
+            self.bounds = [lam] * (len(self.ops) - 1)
 
         # per-level-pair 1D prolongation tables (coarse -> fine), in the
         # sweep convention mat[out, in]

@@ -31,10 +31,20 @@ _done = False
 def tune_host_allocator(
     mmap_threshold: int = 1 << 30, trim_threshold: int = 1 << 30
 ) -> bool:
-    """Idempotent; returns True if glibc accepted the thresholds."""
+    """Idempotent; returns True if glibc accepted the thresholds.
+
+    Process-global: raised thresholds keep freed large buffers on the brk
+    heap (peak-RSS-sized heap stays resident for the process lifetime).
+    That is the right trade on slow-fault virtualized hosts where this
+    framework owns the process, but embedding applications can opt out by
+    setting ``DCG_TPU_MALLOPT=0`` before import."""
     global _done
     if _done:
         return True
+    import os
+
+    if os.environ.get("DCG_TPU_MALLOPT", "1") == "0":
+        return False
     try:
         import ctypes
 

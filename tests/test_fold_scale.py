@@ -73,3 +73,24 @@ def test_mass_and_vector_fold_scale(backend):
     np.testing.assert_allclose(
         after[:, ~mask], 3.0 * before[:, ~mask], rtol=1e-13, atol=1e-16
     )
+
+
+def test_fold_scale_invalidates_solver_cache():
+    """Eager solves are jit-cached by operator IDENTITY; fold_scale mutates
+    the tables in place, so it must drop the cache — a second eager solve
+    on the mutated operator has to solve the SCALED system, not replay the
+    executable built from the old tables."""
+    from deal_and_ceed_on_gpu_tpu import PoissonOperator, SolverControl, solve_cg
+    from deal_and_ceed_on_gpu_tpu.models import assemble_rhs
+
+    mesh = BrickMesh((3, 3, 3))
+    space = FESpace.create(mesh, 2, dtype=jnp.float64)
+    op = PoissonOperator(space, backend="structured")
+    b = assemble_rhs(space, 1.0)
+    control = SolverControl(300, 1e-12)
+    x1, _ = solve_cg(op.vmult, b, control)  # populates the jit cache
+    op.fold_scale(2.0)
+    x2, _ = solve_cg(op.vmult, b, control)  # must NOT hit the stale entry
+    np.testing.assert_allclose(
+        np.asarray(x2), 0.5 * np.asarray(x1), rtol=1e-9, atol=1e-12
+    )
