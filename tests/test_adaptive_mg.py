@@ -291,3 +291,55 @@ def test_adaptive_helmholtz_mgcg_matches_direct():
     A_eff = (P @ C.T @ A @ C @ P + Ic).tocsc()
     x_direct = spla.spsolve(A_eff, np.asarray(b))
     np.testing.assert_allclose(np.asarray(x), x_direct, rtol=1e-8, atol=1e-10)
+
+
+# --------------------------------------- composition: vector + IR on AMR
+
+
+def test_vector_adaptive_operator_matches_per_component():
+    """BP2/4/6-style 3-component operators compose with the adaptive
+    machinery: the vmapped wrapper equals three scalar applies."""
+    import jax
+
+    from deal_and_ceed_on_gpu_tpu.models.vector import VectorOperator
+
+    space = AdaptiveSpace(_two_level_mesh(), 2)
+    op = AdaptivePoissonOperator(space)
+    vop = VectorOperator(op, 3)
+    u = np.random.default_rng(4).standard_normal((3, space.n_dofs))
+    got = np.asarray(vop.vmult(jnp.asarray(u)))
+    for c in range(3):
+        want = np.asarray(op.vmult(jnp.asarray(u[c])))
+        np.testing.assert_allclose(got[c], want, rtol=1e-13, atol=1e-14)
+    # and a 3-component MG-CG solve converges like the scalar one
+    mg = AdaptiveMultigrid(space, fine_op=op)
+    b = assemble_rhs_adaptive(space, 1.0)
+    b3 = jnp.stack([b, 2.0 * b, -b])
+    control = ReductionControl(60, tolerance=0.0, reduction=1e-11)
+    x3, info = solve_cg(
+        vop.vmult, b3, control, diag=lambda r: jax.vmap(mg.vcycle)(r)
+    )
+    assert int(info["n_iterations"]) <= 25
+    x1, _ = solve_cg(op.vmult, b, control, diag=mg.vcycle)
+    np.testing.assert_allclose(
+        np.asarray(x3[1]), 2.0 * np.asarray(x1), rtol=1e-8, atol=1e-10
+    )
+
+
+def test_ir_with_adaptive_mg_inner():
+    """Mixed-precision iterative refinement on a hanging-node mesh: f32
+    adaptive-MG-preconditioned inner CG, f64 true residuals to 1e-10."""
+    from deal_and_ceed_on_gpu_tpu.solvers import solve_cg_ir
+
+    amesh = _two_level_mesh()
+    s64 = AdaptiveSpace(amesh, 2, dtype=jnp.float64)
+    s32 = AdaptiveSpace(amesh, 2, dtype=jnp.float32)
+    op64 = AdaptivePoissonOperator(s64)
+    op32 = AdaptivePoissonOperator(s32)
+    mg32 = AdaptiveMultigrid(s32, fine_op=op32)
+    b = assemble_rhs_adaptive(s64, 1.0)
+    x, info = solve_cg_ir(op32, op64, b, rtol=1e-10, diag32=mg32.vcycle)
+    assert float(info["res_rel"]) <= 1e-10
+    np.testing.assert_allclose(
+        np.asarray(x), _direct_solve(s64, b), rtol=1e-7, atol=1e-9
+    )
