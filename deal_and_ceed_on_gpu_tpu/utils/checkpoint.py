@@ -14,7 +14,7 @@ from pathlib import Path
 import jax
 import numpy as np
 
-__all__ = ["save_state", "load_state"]
+__all__ = ["save_state", "load_state", "save_adaptive_state", "load_adaptive_state"]
 
 
 def save_state(path, arrays: dict, meta: dict | None = None):
@@ -35,3 +35,44 @@ def load_state(path):
         arrays = {k: z[k] for k in z.files if k != "__meta__"}
         meta = json.loads(bytes(z["__meta__"].tobytes()).decode()) if "__meta__" in z.files else {}
     return arrays, meta
+
+
+def save_adaptive_state(path, space, x, meta: dict | None = None):
+    """Checkpoint an AMR state: the adaptive mesh (origins/sizes/levels +
+    domain box), the degree, and the solution vector — enough to resume a
+    solve→estimate→mark→refine loop after preemption."""
+    mesh = space.mesh
+    m = dict(meta or {})
+    m["degree"] = int(space.degree)
+    m["dtype"] = str(space.dtype)
+    m["lower"] = [float(v) for v in mesh.lower]
+    m["upper"] = [float(v) for v in mesh.upper]
+    return save_state(
+        path,
+        {
+            "origins": mesh.origins,
+            "sizes": mesh.sizes,
+            "levels": mesh.levels,
+            "x": x,
+        },
+        meta=m,
+    )
+
+
+def load_adaptive_state(path):
+    """Returns ``(space, x, meta)`` rebuilt from a
+    :func:`save_adaptive_state` checkpoint."""
+    import jax.numpy as jnp
+
+    from ..adaptive import AdaptiveMesh, AdaptiveSpace
+
+    arrays, meta = load_state(path)
+    mesh = AdaptiveMesh(
+        arrays["origins"],
+        arrays["sizes"],
+        arrays["levels"],
+        tuple(meta["lower"]),
+        tuple(meta["upper"]),
+    )
+    space = AdaptiveSpace(mesh, meta["degree"], dtype=jnp.dtype(meta["dtype"]))
+    return space, jnp.asarray(arrays["x"], dtype=space.dtype), meta

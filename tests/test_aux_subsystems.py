@@ -60,3 +60,51 @@ def test_step64_driver_golden(tmp_path):
     )
     assert pg["n_iterations"] == r1["n_iterations"]
     np.testing.assert_allclose(pg["l2_norm"], r1["l2_norm"], rtol=1e-11)
+
+
+def test_adaptive_checkpoint_roundtrip(tmp_path):
+    """An AMR state (mesh + solution) survives save/load: the rebuilt
+    space has identical DoF numbering and the resumed solve is a no-op."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deal_and_ceed_on_gpu_tpu import BrickMesh
+    from deal_and_ceed_on_gpu_tpu.adaptive import (
+        AdaptiveMesh,
+        AdaptivePoissonOperator,
+        AdaptiveSpace,
+        assemble_rhs_adaptive,
+    )
+    from deal_and_ceed_on_gpu_tpu.solvers import (
+        ReductionControl,
+        SolverControl,
+        solve_cg,
+    )
+    from deal_and_ceed_on_gpu_tpu.utils.checkpoint import (
+        load_adaptive_state,
+        save_adaptive_state,
+    )
+
+    amesh = AdaptiveMesh.refine(BrickMesh((2, 2, 2)), (0, 7))
+    space = AdaptiveSpace(amesh, 2)
+    op = AdaptivePoissonOperator(space)
+    b = assemble_rhs_adaptive(space, 1.0)
+    control = ReductionControl(400, tolerance=0.0, reduction=1e-11)
+    x, _ = solve_cg(op.vmult, b, control)
+
+    p = save_adaptive_state(tmp_path / "amr.npz", space, x, meta={"step": 3})
+    space2, x2, meta = load_adaptive_state(p)
+    assert meta["step"] == 3
+    assert space2.n_dofs == space.n_dofs
+    np.testing.assert_array_equal(
+        np.asarray(space2.elem_dof_map), np.asarray(space.elem_dof_map)
+    )
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), rtol=0, atol=0)
+    # resuming the solve from the checkpoint converges immediately
+    # (absolute tolerance: a reduction target would re-measure from the
+    # already-tiny warm-start residual)
+    op2 = AdaptivePoissonOperator(space2)
+    b2 = assemble_rhs_adaptive(space2, 1.0)
+    abs_control = SolverControl(400, 1e-10 * float(jnp.linalg.norm(b2)))
+    _, info = solve_cg(op2.vmult, b2, abs_control, x0=x2)
+    assert int(info["n_iterations"]) <= 1
