@@ -64,6 +64,13 @@ from .partition import BlockPartition
 __all__ = ["DistMultigrid", "solve_cg_mg_dist"]
 
 
+def _coarse_partition(part: BlockPartition) -> BlockPartition:
+    return BlockPartition(
+        coarsen_mesh(part.mesh), part.degree, part.pz, part.py,
+        part.axis_z, part.axis_y, part.px, part.axis_x,
+    )
+
+
 def _can_coarsen(part: BlockPartition) -> bool:
     """Block-aligned 2:1 coarsening: all global axes even, and each
     shard's local element block halves exactly (parents stay in-shard,
@@ -73,13 +80,13 @@ def _can_coarsen(part: BlockPartition) -> bool:
         return False
     if part.mz_local % 2 or part.my_local % 2:
         return False
-    cpart = BlockPartition(
-        coarsen_mesh(part.mesh), part.degree, part.pz, part.py,
-        part.axis_z, part.axis_y,
-    )
+    if part.px > 1 and part.mx_local % 2:
+        return False
+    cpart = _coarse_partition(part)
     return (
         cpart.mz_local == part.mz_local // 2
         and cpart.my_local == part.my_local // 2
+        and cpart.mx_local == part.mx_local // 2
     )
 
 
@@ -107,25 +114,13 @@ class DistMultigrid:
     ):
         self.smooth_degree = smooth_degree
         self.dtype = jnp.dtype(dtype)
-        if part.px > 1:
-            raise ValueError(
-                "DistMultigrid partitions z/y only; x-partitioned (3D) "
-                "BlockPartitions are supported by DistOperator but the "
-                "level hierarchy does not propagate the x axis yet — "
-                "use px=1 (same device count via larger pz*py)"
-            )
 
         # ---------------- level hierarchy ---------------- #
         parts = [part]
         while parts[-1].mesh.n_dofs(part.degree) > coarse_max_dofs and _can_coarsen(
             parts[-1]
         ):
-            parts.append(
-                BlockPartition(
-                    coarsen_mesh(parts[-1].mesh), part.degree, part.pz,
-                    part.py, part.axis_z, part.axis_y,
-                )
-            )
+            parts.append(_coarse_partition(parts[-1]))
         if len(parts) < 2:
             raise ValueError(
                 f"mesh {part.mesh.n_elements} over {part.pz}x{part.py} "
@@ -192,8 +187,10 @@ class DistMultigrid:
         def _axis_stacks(fine, coarse, which):
             if which == "z":
                 n_sh, mloc_c, ax = fine.pz, coarse.mz_local, 2
-            else:
+            elif which == "y":
                 n_sh, mloc_c, ax = fine.py, coarse.my_local, 1
+            else:  # "x" (only taken when px > 1)
+                n_sh, mloc_c, ax = fine.px, coarse.mx_local, 0
             if fine.mesh.widths is None:
                 Pm = prolongation_1d(mloc_c, p, nodes)
                 return np.broadcast_to(Pm, (n_sh,) + Pm.shape)
@@ -209,8 +206,11 @@ class DistMultigrid:
 
         self.prolong_mats = []
         for fine, coarse in zip(parts[:-1], parts[1:]):
-            fx = None if fine.mesh.widths is None else np.asarray(fine.mesh.widths[0])
-            Px = prolongation_1d(coarse.mesh.n_elements[0], p, nodes, fx)
+            if part.px > 1:
+                Px = _axis_stacks(fine, coarse, "x")  # per-shard stack
+            else:
+                fx = None if fine.mesh.widths is None else np.asarray(fine.mesh.widths[0])
+                Px = prolongation_1d(coarse.mesh.n_elements[0], p, nodes, fx)
             self.prolong_mats.append((
                 jnp.asarray(_axis_stacks(fine, coarse, "z"), dtype=dtype),
                 jnp.asarray(_axis_stacks(fine, coarse, "y"), dtype=dtype),
@@ -221,14 +221,20 @@ class DistMultigrid:
         self.operands = []
         self.operand_specs = []
         self._slices = []
-        az, ay = part.axis_z, part.axis_y
+        az, ay, ax = part.axis_z, part.axis_y, part.axis_x
+        grid_spec = P(az, ay, ax) if part.px > 1 else P(az, ay, None)
+        self.grid_spec = grid_spec
+        shard_axes = (az, ay, ax) if part.px > 1 else (az, ay)
+        self.shard_axes = shard_axes
         for dinv, dop in zip(self._dinv_blocks, self.dist_ops):
             start = len(self.operands)
             self.operands.append(dinv)
-            self.operand_specs.append(P(az, ay, None))
+            self.operand_specs.append(grid_spec)
             for t in dop.shard_tables:
                 self.operands.append(t)
-                self.operand_specs.append(P((az, ay), *([None] * (t.ndim - 1))))
+                self.operand_specs.append(
+                    P(shard_axes, *([None] * (t.ndim - 1)))
+                )
             self._slices.append((start, 1 + len(dop.shard_tables)))
         self.operands = tuple(self.operands)
         self.operand_specs = tuple(self.operand_specs)
@@ -258,9 +264,16 @@ class DistMultigrid:
     def _level_mats(self, level):
         """This shard's (Pz, Py, Px) for the level -> level+1 pair."""
         part = self.parts[level]
-        Pz_s, Py_s, Px = self.prolong_mats[level]
+        Pz_s, Py_s, Px_s = self.prolong_mats[level]
         iz = lax.axis_index(part.axis_z)
         iy = lax.axis_index(part.axis_y)
+        Px = (
+            lax.dynamic_index_in_dim(
+                Px_s, lax.axis_index(part.axis_x), 0, keepdims=False
+            )
+            if part.px > 1
+            else Px_s
+        )
         return (
             lax.dynamic_index_in_dim(Pz_s, iz, 0, keepdims=False),
             lax.dynamic_index_in_dim(Py_s, iy, 0, keepdims=False),
@@ -274,7 +287,8 @@ class DistMultigrid:
         part_f, part_c = self.parts[level], self.parts[level + 1]
         iz = lax.axis_index(part_f.axis_z)
         iy = lax.axis_index(part_f.axis_y)
-        w = part_f.local_dot_weight(iz, iy, r.dtype)
+        ix = lax.axis_index(part_f.axis_x) if part_f.px > 1 else 0
+        w = part_f.local_dot_weight(iz, iy, r.dtype, ix)
         Pz, Py, Px = self._level_mats(level)
         rc = sweep(
             sweep(sweep(r * w, Px, 2, transpose=True), Py, 1, transpose=True),
@@ -283,7 +297,7 @@ class DistMultigrid:
             transpose=True,
         )
         rc = halo_combine(rc, part_c)
-        mask_c = part_c.local_dirichlet_mask(iz, iy)
+        mask_c = part_c.local_dirichlet_mask(iz, iy, ix)
         return jnp.where(mask_c, jnp.zeros((), rc.dtype), rc)
 
     def _prolong(self, level, u_c):
@@ -297,29 +311,42 @@ class DistMultigrid:
         redundantly, slice this shard's ghosted block back out."""
         part = self.parts[-1]
         p = part.degree
-        nzl, nyl, nx = part.local_grid_shape
-        nz, ny, _ = part.global_grid_shape
-        sz, sy = part.mz_local * p, part.my_local * p
-        g = lax.all_gather(r, part.axis_z, axis=0)  # [pz, nzl, nyl, nx]
+        nzl, nyl, nxl = part.local_grid_shape
+        nz, ny, nx = part.global_grid_shape
+        sz, sy, sx = part.mz_local * p, part.my_local * p, part.mx_local * p
+        g = lax.all_gather(r, part.axis_z, axis=0)  # [pz, nzl, nyl, nxl]
         g = lax.all_gather(g, part.axis_y, axis=0)  # [py, pz, ...]
+        if part.px > 1:
+            g = lax.all_gather(g, part.axis_x, axis=0)  # [px, py, pz, ...]
         pad_z, pad_y = (part.pz - 1) * sz + nzl, (part.py - 1) * sy + nyl
-        glob = jnp.zeros((pad_z, pad_y, nx), dtype=r.dtype)
+        pad_x = (part.px - 1) * sx + nxl
+        glob = jnp.zeros((pad_z, pad_y, pad_x), dtype=r.dtype)
         for iz in range(part.pz):
             for iy in range(part.py):
-                glob = glob.at[
-                    iz * sz : iz * sz + nzl, iy * sy : iy * sy + nyl
-                ].set(g[iy, iz])
+                for ixg in range(part.px):
+                    blk = g[ixg, iy, iz] if part.px > 1 else g[iy, iz]
+                    glob = glob.at[
+                        iz * sz : iz * sz + nzl,
+                        iy * sy : iy * sy + nyl,
+                        ixg * sx : ixg * sx + nxl,
+                    ].set(blk)
         x = jnp.matmul(
             self._coarse_inv,
-            glob[:nz, :ny, :].reshape(-1),
+            glob[:nz, :ny, :nx].reshape(-1),
             precision=jax.lax.Precision.HIGHEST,
         )
-        xp = jnp.zeros((pad_z, pad_y, nx), dtype=r.dtype)
-        xp = xp.at[:nz, :ny, :].set(x.reshape(nz, ny, nx))
+        xp = jnp.zeros((pad_z, pad_y, pad_x), dtype=r.dtype)
+        xp = xp.at[:nz, :ny, :nx].set(x.reshape(nz, ny, nx))
         iz = lax.axis_index(part.axis_z)
         iy = lax.axis_index(part.axis_y)
-        zero = jnp.zeros((), dtype=iz.dtype)
-        return lax.dynamic_slice(xp, (iz * sz, iy * sy, zero), (nzl, nyl, nx))
+        ix = (
+            lax.axis_index(part.axis_x)
+            if part.px > 1
+            else jnp.zeros((), dtype=iz.dtype)
+        )
+        return lax.dynamic_slice(
+            xp, (iz * sz, iy * sy, ix * sx), (nzl, nyl, nxl)
+        )
 
     # --------------------------- V-cycle --------------------------- #
     def vcycle_local(self, r, opnds):
@@ -349,11 +376,11 @@ def solve_cg_mg_dist(
     part = dist_mg.parts[0]
     dist_op = dist_mg.dist_ops[0]
     mesh = _mesh_for(dist_op, mesh)
-    az, ay = part.axis_z, part.axis_y
     key = (control, mesh)
     run = dist_mg._solver_cache.get(key)
     if run is None:
-        grid_spec = P(az, ay, None)
+        grid_spec = dist_mg.grid_spec
+        psum_axes = dist_mg.shard_axes
         n_lvl0 = dist_mg._slices[0][1] - 1
 
         def local_solve(b_loc, *opnds):
@@ -365,7 +392,7 @@ def solve_cg_mg_dist(
                 control,
                 diag=lambda r: dist_mg.vcycle_local(r, opnds),
                 dot_weight=w,
-                psum_axis=(az, ay),
+                psum_axis=psum_axes,
             )
             return x, info["n_iterations"], info["res_norm"], info["res0"]
 
