@@ -70,6 +70,12 @@ class DistFDM:
                  n_q: Optional[int] = None):
         if part.mesh.is_mapped:
             raise ValueError("FDM requires a tensor-product (separable) mesh")
+        if part.px > 1:
+            raise ValueError(
+                "DistFDM transposes the x axis against the z/y shard axes "
+                "(all_to_all spectral path) and requires the x axis "
+                "UNPARTITIONED — use px=1 (same device count via pz*py)"
+            )
         self.part = part
         p = part.degree
         space = FESpace.create(part.mesh, p, n_q=n_q, rule=rule, dtype=dtype)
