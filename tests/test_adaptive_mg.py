@@ -343,3 +343,19 @@ def test_ir_with_adaptive_mg_inner():
     np.testing.assert_allclose(
         np.asarray(x), _direct_solve(s64, b), rtol=1e-7, atol=1e-9
     )
+
+
+@pytest.mark.parametrize("p", [4, 5])
+def test_mgcg_high_order(p):
+    """The embedding transfers and squared-weight diagonals stay sound at
+    the reference's high orders (p=5 is the BP5 degree): ~9 iterations."""
+    space = AdaptiveSpace(_two_level_mesh(), p)
+    assert space.hanging_mask_np.sum() > 0
+    op = AdaptivePoissonOperator(space)
+    mg = AdaptiveMultigrid(space, fine_op=op)
+    b = assemble_rhs_adaptive(space, 1.0)
+    control = ReductionControl(80, tolerance=0.0, reduction=1e-11)
+    x, info = solve_cg(op.vmult, b, control, diag=mg.vcycle)
+    assert int(info["n_iterations"]) <= 20
+    r = float(jnp.linalg.norm(b - op.vmult(x)))
+    assert r <= 1e-10 * float(jnp.linalg.norm(b)) * 1e3  # true residual sane
