@@ -308,6 +308,9 @@ class AdaptiveSpace:
         self.node_coords = coords_arr
         self.elem_dof_map = jnp.asarray(dof_map.astype(np.int32))
         self._dof_map_np = dof_map
+        # presorted scatter-add plan: the raw duplicate-index .at[].add
+        # serializes on TPU (see ops.local_global.make_scatter_plan)
+        self.scatter_plan = lg.make_scatter_plan(dof_map, self.n_dofs)
 
         # ---- hanging-node constraints (multi-level, chain-resolved) ----
         # A node is hanging iff it is NOT a node of any *coarsest*-level
@@ -479,7 +482,7 @@ class AdaptivePoissonOperator:
         gx, gy, gz = grads
         cx, cy, cz = self._cw
         vl = sf.integrate(None, (gx * cx, gy * cy, gz * cz), self.S, self.D, (1, 2, 3), True)
-        return lg.scatter_indexed(vl, s.elem_dof_map, s.n_dofs)
+        return lg.scatter_indexed_sorted(vl, s.scatter_plan, s.n_dofs)
 
     def vmult(self, src: jnp.ndarray) -> jnp.ndarray:
         s = self.space
@@ -527,7 +530,7 @@ class AdaptiveHelmholtzOperator(AdaptivePoissonOperator):
             (1, 2, 3),
             True,
         )
-        return lg.scatter_indexed(vl, s.elem_dof_map, s.n_dofs)
+        return lg.scatter_indexed_sorted(vl, s.scatter_plan, s.n_dofs)
 
 
 def _cell_qpoints(space: AdaptiveSpace) -> np.ndarray:
@@ -561,7 +564,7 @@ def assemble_rhs_adaptive(space: AdaptiveSpace, f=1.0) -> jnp.ndarray:
             float(f) * op._jxw, (space.mesh.n_cells, q1, q1, q1)
         ).astype(space.dtype)
     vl = sf.integrate(integrand, None, op.S, op.D, (1, 2, 3), True)
-    b = lg.scatter_indexed(vl, space.elem_dof_map, space.n_dofs)
+    b = lg.scatter_indexed_sorted(vl, space.scatter_plan, space.n_dofs)
     b = space.condense(b)
     return jnp.where(space.constrained_mask, jnp.zeros((), b.dtype), b)
 
@@ -600,7 +603,7 @@ def estimate_gradient_recovery(
     )
     eta2 = jnp.zeros((s.mesh.n_cells,), dtype=s.dtype)
     for g in phys:
-        Rg = lg.scatter_indexed(g, s.elem_dof_map, s.n_dofs) / counts
+        Rg = lg.scatter_indexed_sorted(g, s.scatter_plan, s.n_dofs) / counts
         diff = g - lg.gather_indexed(Rg, s.elem_dof_map, s.degree)
         eta2 = eta2 + jnp.sum(diff * diff * op._jxw, axis=(1, 2, 3))
     return np.sqrt(np.asarray(eta2))

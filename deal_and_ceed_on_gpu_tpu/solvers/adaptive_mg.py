@@ -167,7 +167,7 @@ def make_prolongation(
         ul = jnp.einsum("eok,ekji->eoji", Mz, ul)
         ul = jnp.einsum("eoj,ekji->ekoi", My, ul)
         ul = jnp.einsum("eoi,ekji->ekjo", Mx, ul)
-        uf = lg.scatter_indexed(ul, fine.elem_dof_map, fine.n_dofs)
+        uf = lg.scatter_indexed_sorted(ul, fine.scatter_plan, fine.n_dofs)
         uf = uf * inv_mult  # duplicates hold equal values -> average
         uf = jnp.where(bmask, jnp.zeros((), uf.dtype), uf)
         return fine.distribute(uf)  # exact hanging consistency

@@ -51,3 +51,21 @@ def test_structured_matches_indexed(shape, p):
     )
     s_str = lg.scatter_structured(v_il, p).reshape(-1)
     np.testing.assert_allclose(np.asarray(s_idx), np.asarray(s_str), atol=1e-13)
+
+
+def test_scatter_plan_matches_raw_scatter():
+    """The presorted segment-sum scatter (TPU fast path for
+    duplicate-index scatter-add) is bit-compatible with scatter_indexed
+    up to summation order (exact for these magnitudes)."""
+    import numpy as np
+
+    from deal_and_ceed_on_gpu_tpu.ops import local_global as lg
+
+    rng = np.random.default_rng(8)
+    n_dofs, E, p1 = 500, 64, 3
+    emap = rng.integers(0, n_dofs, (E, p1**3)).astype(np.int32)
+    v = rng.standard_normal((E, p1, p1, p1))
+    want = np.asarray(lg.scatter_indexed(jnp.asarray(v), jnp.asarray(emap), n_dofs))
+    plan = lg.make_scatter_plan(emap, n_dofs)
+    got = np.asarray(lg.scatter_indexed_sorted(jnp.asarray(v), plan, n_dofs))
+    np.testing.assert_allclose(got, want, rtol=1e-13, atol=1e-14)
