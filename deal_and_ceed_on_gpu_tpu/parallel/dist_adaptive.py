@@ -186,6 +186,15 @@ class AdaptivePartition:
         )
         self.cell_map = jnp.asarray(cmap)
         self.cell_coef = coef  # numpy; dtype applied by the operator
+        # per-shard presorted scatter plans for the cell scatter-add (the
+        # raw duplicate-index .at[].add serializes on TPU — same fix as
+        # ops.local_global.make_scatter_plan, per shard)
+        flat_c = cmap.reshape(n_shards, -1)
+        order_c = np.argsort(flat_c, axis=1, kind="stable").astype(np.int32)
+        self.cell_scatter_order = jnp.asarray(order_c)
+        self.cell_scatter_ids = jnp.asarray(
+            np.take_along_axis(flat_c, order_c, axis=1).astype(np.int32)
+        )
 
         # ---- per-shard owned<->sigma exchange tables ----
         self.own_sig_local, self.own_sig_slot = build_sigma_exchange(
@@ -295,7 +304,7 @@ class DistAdaptivePoisson:
     #: MG's table slicing) resolve positions by name from this, never by
     #: magic index
     OPERAND_NAMES = (
-        "cell_map", "cwx", "cwy", "cwz", "a_jxw",
+        "cell_map", "cwx", "cwy", "cwz", "a_jxw", "sc_order", "sc_ids",
         "osl", "oss", "hl", "hm", "hw", "con", "hng",
     )
 
@@ -306,6 +315,8 @@ class DistAdaptivePoisson:
             p.cell_map,
             *self.coef_tables,
             self._a_jxw,
+            p.cell_scatter_order,
+            p.cell_scatter_ids,
             p.own_sig_local,
             p.own_sig_slot,
             p.h_local,
@@ -329,14 +340,18 @@ class DistAdaptivePoisson:
         return self._vmult_flat(u.reshape(-1), *tables).reshape(shape)
 
     def _vmult_flat(
-        self, u, cmap, cwx, cwy, cwz, a_jxw, osl, oss, hl, hm, hw, con, hng
+        self, u, cmap, cwx, cwy, cwz, a_jxw, sco, sci,
+        osl, oss, hl, hm, hw, con, hng,
     ):
         part = self.part
         ax = part.axis_name
         n_loc, S = part.n_loc, part.n_sigma
-        (cmap, cwx, cwy, cwz, a_jxw, osl, oss, hl, hm, hw, con, hng) = (
+        (cmap, cwx, cwy, cwz, a_jxw, sco, sci, osl, oss, hl, hm, hw, con, hng) = (
             t.reshape(t.shape[1:])
-            for t in (cmap, cwx, cwy, cwz, a_jxw, osl, oss, hl, hm, hw, con, hng)
+            for t in (
+                cmap, cwx, cwy, cwz, a_jxw, sco, sci,
+                osl, oss, hl, hm, hw, con, hng,
+            )
         )
         zero = jnp.zeros((), u.dtype)
 
@@ -361,10 +376,8 @@ class DistAdaptivePoisson:
             (1, 2, 3),
             True,
         )
-        v_cat = (
-            jnp.zeros((n_loc + S + 1,), u.dtype)
-            .at[cmap.reshape(-1)]
-            .add(vl.reshape(-1))
+        v_cat = jax.ops.segment_sum(
+            vl.reshape(-1)[sco], sci, n_loc + S + 1, indices_are_sorted=True
         )
         sig_v = jax.lax.psum(v_cat[n_loc : n_loc + S + 1], ax)
         v1 = jnp.pad(v_cat[:n_loc], (0, 1)).at[osl].add(sig_v[oss])

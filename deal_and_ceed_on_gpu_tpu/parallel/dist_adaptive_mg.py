@@ -118,6 +118,15 @@ class _Transfer:
         self.tc_map = jnp.asarray(tc)
         self.pick = jnp.asarray(pk)
 
+        # presorted scatter plan for the coarse-side transfer scatter
+        # (restriction 2^T) — same TPU fix as the operator's cell scatter
+        flat_t = tc.reshape(n_sh, -1)
+        order_t = np.argsort(flat_t, axis=1, kind="stable").astype(np.int32)
+        self.tc_order = jnp.asarray(order_t)
+        self.tc_ids = jnp.asarray(
+            np.take_along_axis(flat_t, order_t, axis=1).astype(np.int32)
+        )
+
         # coarse owned <-> SIGMA_T exchange tables
         self.oslT, self.ossT = build_sigma_exchange(
             sigT, owner_c, part_c.n_loc, n_sh
@@ -143,8 +152,13 @@ class _Transfer:
             )
         )
 
+    N_OPERANDS = 8
+
     def operands(self, inv_mult):
-        return (self.tc_map, self.pick, self.oslT, self.ossT, inv_mult, self.bnd)
+        return (
+            self.tc_map, self.pick, self.tc_order, self.tc_ids,
+            self.oslT, self.ossT, inv_mult, self.bnd,
+        )
 
 
 class DistAdaptiveMultigrid:
@@ -244,7 +258,7 @@ class DistAdaptiveMultigrid:
             for t in tr.operands(inv_mult):
                 ops_list.append(t)
                 specs.append(P(ax, *([None] * (np.ndim(t) - 1))))
-            self._tr_slices.append((start, 6))
+            self._tr_slices.append((start, _Transfer.N_OPERANDS))
         ops_list.append(self._coarse_inv)
         specs.append(P())
         self.operands = tuple(ops_list)
@@ -266,6 +280,16 @@ class DistAdaptiveMultigrid:
         return None, opnds[start : start + count]
 
     _HANG_START = DistAdaptivePoisson.OPERAND_NAMES.index("osl")
+    _SCO_IDX = DistAdaptivePoisson.OPERAND_NAMES.index("sc_order")
+    _SCI_IDX = DistAdaptivePoisson.OPERAND_NAMES.index("sc_ids")
+
+    def _cell_plan(self, level, opnds):
+        """The level operator's per-shard (order, sorted_ids) scatter plan."""
+        tabs = self._lvl(level, opnds)[1]
+        return (
+            tabs[self._SCO_IDX].reshape(-1),
+            tabs[self._SCI_IDX].reshape(-1),
+        )
 
     def _hang_tabs(self, level, opnds):
         """(osl, oss, hl, hm, hw, con, hng) per shard for a level —
@@ -304,7 +328,7 @@ class DistAdaptiveMultigrid:
         part_c, part_f = self.parts[level + 1], self.parts[level]
         n_c, n_f = part_c.n_loc, part_f.n_loc
         S_f = part_f.n_sigma
-        tc, pick, oslT, ossT, inv_mult, bnd = self._tr(level, opnds)
+        tc, pick, _, _, oslT, ossT, inv_mult, bnd = self._tr(level, opnds)
         osl_c, oss_c, hl_c, hm_c, hw_c, _, _ = self._hang_tabs(level + 1, opnds)
         osl_f, oss_f, hl_f, hm_f, hw_f, _, _ = self._hang_tabs(level, opnds)
         S_T = self.transfers[level].n_sigma
@@ -323,12 +347,11 @@ class DistAdaptiveMultigrid:
         ul = jnp.einsum("eok,ekji->eoji", Mz, ul)
         ul = jnp.einsum("eoj,ekji->ekoi", My, ul)
         ul = jnp.einsum("eoi,ekji->ekjo", Mx, ul)
-        # 4. scatter into fine [owned | SIGMA | trash] + compress
-        cmap_f = self._lvl(level, opnds)[1][0].reshape(-1, p1**3)
-        v_cat = (
-            jnp.zeros((n_f + S_f + 1,), u1.dtype)
-            .at[cmap_f.reshape(-1)]
-            .add(ul.reshape(-1))
+        # 4. scatter into fine [owned | SIGMA | trash] + compress (via the
+        # fine operator's presorted per-shard scatter plan)
+        sco, sci = self._cell_plan(level, opnds)
+        v_cat = jax.ops.segment_sum(
+            ul.reshape(-1)[sco], sci, n_f + S_f + 1, indices_are_sorted=True
         )
         sig_v = lax.psum(v_cat[n_f:], ax)
         v1 = jnp.pad(v_cat[:n_f], (0, 1)).at[osl_f].add(sig_v[oss_f])
@@ -347,7 +370,7 @@ class DistAdaptiveMultigrid:
         part_c, part_f = self.parts[level + 1], self.parts[level]
         n_c, n_f = part_c.n_loc, part_f.n_loc
         S_f, S_c = part_f.n_sigma, part_c.n_sigma
-        tc, pick, oslT, ossT, inv_mult, bnd = self._tr(level, opnds)
+        tc, pick, tco, tci, oslT, ossT, inv_mult, bnd = self._tr(level, opnds)
         osl_c, oss_c, hl_c, hm_c, hw_c, con_c, hng_c = self._hang_tabs(
             level + 1, opnds
         )
@@ -373,10 +396,9 @@ class DistAdaptiveMultigrid:
         ul = jnp.einsum("eoj,ekoi->ekji", My, ul)
         ul = jnp.einsum("eoi,ekjo->ekji", Mx, ul)
         # 2^T: scatter into coarse [owned | SIGMA_T | trash] + compress
-        c = (
-            jnp.zeros((n_c + S_T + 1,), r1.dtype)
-            .at[tc.reshape(-1)]
-            .add(ul.reshape(-1))
+        # (presorted transfer scatter plan)
+        c = jax.ops.segment_sum(
+            ul.reshape(-1)[tco], tci, n_c + S_T + 1, indices_are_sorted=True
         )
         sigT_c = lax.psum(c[n_c:], ax)
         rc = jnp.pad(c[:n_c], (0, 1)).at[oslT].add(sigT_c[ossT])
