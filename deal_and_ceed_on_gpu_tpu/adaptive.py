@@ -398,9 +398,22 @@ class AdaptiveSpace:
             hang_cols = np.zeros(0, dtype=np.int64)
             hang_w = np.zeros(0)
         self.hanging_mask_np = hanging
+        # store the constraint triplets sorted by ROW (distribute scatters
+        # into rows) and keep a column-sort permutation for the transpose
+        # (condense scatters into master columns) — both scatters then run
+        # with indices_are_sorted=True, the TPU-fast segment-sum form
+        order_r = np.argsort(hang_rows, kind="stable")
+        hang_rows = hang_rows[order_r]
+        hang_cols = hang_cols[order_r]
+        hang_w = hang_w[order_r]
+        order_c = np.argsort(hang_cols, kind="stable")
         self.hang_rows = jnp.asarray(hang_rows.astype(np.int32))
         self.hang_cols = jnp.asarray(hang_cols.astype(np.int32))
         self.hang_w = jnp.asarray(hang_w, dtype=self.dtype)
+        self._hang_col_order = jnp.asarray(order_c.astype(np.int32))
+        self._hang_cols_sorted = jnp.asarray(
+            hang_cols[order_c].astype(np.int32)
+        )
 
         # ---- Dirichlet boundary (whole domain boundary) ----
         lo = np.asarray(mesh.lower)
@@ -422,7 +435,10 @@ class AdaptiveSpace:
         if self.hang_rows.size == 0:
             return u
         vals = jax.ops.segment_sum(
-            self.hang_w * u[self.hang_cols], self.hang_rows, self.n_dofs
+            self.hang_w * u[self.hang_cols],
+            self.hang_rows,
+            self.n_dofs,
+            indices_are_sorted=True,  # triplets stored row-sorted
         )
         return jnp.where(self.hanging_mask, vals, u)
 
@@ -432,8 +448,9 @@ class AdaptiveSpace:
         ``bp5/fe_evaluation_gl.h:167-168``)."""
         if self.hang_rows.size == 0:
             return v
+        vals = (self.hang_w * v[self.hang_rows])[self._hang_col_order]
         add = jax.ops.segment_sum(
-            self.hang_w * v[self.hang_rows], self.hang_cols, self.n_dofs
+            vals, self._hang_cols_sorted, self.n_dofs, indices_are_sorted=True
         )
         v = v + add
         return jnp.where(self.hanging_mask, jnp.zeros((), v.dtype), v)
