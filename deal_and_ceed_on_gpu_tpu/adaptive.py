@@ -684,7 +684,10 @@ def amr_loop(
     history: dicts with ``space``, ``x``, ``n_dofs``, ``n_cells``,
     ``eta`` (global estimate), ``n_iterations``. ``precond="mg"`` solves
     each step with :class:`~.solvers.AdaptiveMultigrid`-preconditioned CG
-    (level-independent iteration counts) instead of plain merged CG.
+    (level-independent iteration counts) instead of plain merged CG;
+    ``precond="mg-ir"`` runs mixed-precision iterative refinement (f32
+    adaptive-MG inner CG, f64 true residuals — the fast TPU configuration,
+    only meaningful with ``dtype=float64``).
     ``make_op(space) -> operator`` selects the PDE (default Poisson;
     pass :class:`AdaptiveHelmholtzOperator` for the step-64 problem)."""
     from .solvers import ReductionControl, solve_cg, solve_cg_merged
@@ -699,7 +702,19 @@ def amr_loop(
         control = ReductionControl(
             max_iterations, tolerance=0.0, reduction=reduction
         )
-        if precond == "mg" and int(mesh.levels.max()) > 0:
+        deep = int(mesh.levels.max()) > 0
+        if precond == "mg-ir" and deep:
+            from .solvers import AdaptiveMultigrid, solve_cg_ir
+
+            assert jnp.dtype(dtype) == jnp.float64, "mg-ir needs f64 outer"
+            s32 = AdaptiveSpace(mesh, degree, dtype=jnp.float32)
+            op32 = make_op(s32)
+            mg32 = AdaptiveMultigrid(s32, fine_op=op32, make_op=make_op)
+            x, ir_info = solve_cg_ir(
+                op32, op, b, rtol=reduction, diag32=mg32.vcycle
+            )
+            info = {"n_iterations": ir_info["n_inner"]}
+        elif precond == "mg" and deep:
             from .solvers import AdaptiveMultigrid
 
             mg = AdaptiveMultigrid(space, fine_op=op, make_op=make_op)

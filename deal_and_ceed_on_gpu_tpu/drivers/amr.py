@@ -28,9 +28,11 @@ def main():
     ap.add_argument("--width", type=float, default=0.01, help="source width^2")
     ap.add_argument(
         "--precond",
-        choices=("none", "mg"),
+        choices=("none", "mg", "mg-ir"),
         default="none",
-        help="mg = global-coarsening adaptive multigrid preconditioner",
+        help="mg = global-coarsening adaptive multigrid preconditioner; "
+        "mg-ir = mixed-precision iterative refinement (f32 MG inner CG, "
+        "f64 true residuals)",
     )
     ap.add_argument("--dtype", default="float64", choices=("float32", "float64"))
     ap.add_argument(

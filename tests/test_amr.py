@@ -118,3 +118,29 @@ def test_estimator_zero_for_linear_field():
     )
     eta = estimate_gradient_recovery(space, op, u)
     assert np.abs(eta).max() < 1e-12, np.abs(eta).max()
+
+
+def test_amr_loop_mg_ir_matches_mg():
+    """The mixed-precision (f32 MG inner, f64 residual) AMR loop takes the
+    same refinement decisions and produces the same solutions as the
+    all-f64 MG loop to the IR tolerance."""
+    import numpy as np
+
+    from deal_and_ceed_on_gpu_tpu import BrickMesh
+    from deal_and_ceed_on_gpu_tpu.adaptive import amr_loop
+
+    # asymmetric source: a symmetric f would tie the Doerfler indicators
+    # 8-fold and 1e-10 f32-vs-f64 eta noise could flip which tied cells
+    # get marked
+    def f(x):
+        return np.exp(-((x - 0.72) ** 2).sum(axis=-1) / 0.06)
+
+    kw = dict(f=f, n_steps=2, theta=0.5, reduction=1e-9)
+    h_mg = amr_loop(BrickMesh((2, 2, 2)), 2, precond="mg", **kw)
+    h_ir = amr_loop(BrickMesh((2, 2, 2)), 2, precond="mg-ir", **kw)
+    for a, b in zip(h_mg, h_ir):
+        assert a["n_cells"] == b["n_cells"] and a["n_dofs"] == b["n_dofs"]
+        np.testing.assert_allclose(
+            np.asarray(b["x"]), np.asarray(a["x"]), rtol=1e-6, atol=1e-9
+        )
+        np.testing.assert_allclose(b["eta"], a["eta"], rtol=1e-6)
