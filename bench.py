@@ -94,10 +94,14 @@ def main():
     mesh = BrickMesh.bp5_cycle(CYCLE)
     space = FESpace.create(mesh, DEGREE, rule="gauss_lobatto", dtype=jnp.dtype(DTYPE))
 
-    # fastest-first candidate list; tile config from the measured sweep
-    # (RESULTS.md): BY=96 cuts the y-halo DMA re-read to 1.17x and needs
-    # the raised Mosaic VMEM limit
+    # fastest-first candidate list; tile config from the padding-aware
+    # auto-selection (StencilLayout.auto_opts — cycle 33: BZ=24/BY=88,
+    # 11.5 GDoF/s vs 10.5 at the old hand-tuned BY=96), with the
+    # hand-tuned config and the jnp separable path as fallbacks
+    from deal_and_ceed_on_gpu_tpu.ops.pallas_stencil import StencilLayout
+
     candidates = [
+        ("pallas", StencilLayout.auto_opts(mesh, DEGREE, jnp.dtype(DTYPE))),
         ("pallas", dict(block_y=96, vmem_limit_bytes=100 << 20)),
         ("pallas", None),
         ("separable", None),

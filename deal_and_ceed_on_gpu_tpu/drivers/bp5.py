@@ -115,6 +115,14 @@ def run_cycle(cycle: int, cfg: BP5Config):
         if cfg.backend in ("pallas", "pallas_general")
         else {}
     )
+    if cfg.backend == "pallas" and cfg.pallas_opts is None:
+        # per-mesh padding-aware tile selection (the grid-rounded padding
+        # varies 1.4-2.7x with tile choice across the sweep shapes)
+        from ..ops.pallas_stencil import StencilLayout
+
+        op_kwargs["pallas_opts"] = StencilLayout.auto_opts(
+            mesh, cfg.degree, dtype
+        )
     op = PoissonOperator(space, backend=cfg.backend, **op_kwargs)
     pcout(f"Cycle {cycle}")
     pcout(f"   Number of active cells:       {mesh.n_cells}")
@@ -470,14 +478,13 @@ def main():
         backend=args.backend,
         modes=tuple(args.modes.split(",")),
         mxu_precision=args.mxu_precision,
-        # measured-fastest v5e stencil tiles (RESULTS.md sweep); the
-        # general kernel fixes its MXU precision at construction, so the
-        # --mxu-precision flag must be forwarded here (set_matmul_precision
-        # only reaches the XLA sum-factorization sweeps)
+        # stencil tiles are auto-selected per mesh (StencilLayout
+        # .auto_opts) when pallas_opts is None; the general kernel fixes
+        # its MXU precision at construction, so the --mxu-precision flag
+        # must be forwarded here (set_matmul_precision only reaches the
+        # XLA sum-factorization sweeps)
         pallas_opts=(
-            dict(block_y=96, vmem_limit_bytes=100 << 20)
-            if args.backend == "pallas"
-            else dict(precision=args.mxu_precision)
+            dict(precision=args.mxu_precision)
             if args.backend == "pallas_general"
             else None
         ),

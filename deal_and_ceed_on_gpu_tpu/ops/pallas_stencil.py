@@ -109,6 +109,59 @@ class StencilLayout:
     partials sum exactly to the global operator (see
     ``parallel/dist_pallas.py``)."""
 
+    @staticmethod
+    def auto_opts(mesh, degree, dtype=jnp.float32, vmem_budget=96 << 20):
+        """Padding-aware tile selection: choose ``(block_z, block_y)``
+        minimizing the kernel's dominant cost — total DMA traffic per
+        apply, ``padded_total * (1 + WY/BY)`` (window reads amplified by
+        the y halo, output tiles written once) — under a conservative
+        VMEM estimate. The grid-rounded padding varies 1.4-2.7x with tile
+        choice at BP5 sweep shapes, and the measured effect matches the
+        proxy (cycle 33: BY=88 beats the old BY=96 default 11.5 vs 10.5
+        GDoF/s purely by dropping a third y block; SY-subtile width is
+        second-order — the kernel is DMA-bound). Returns ``pallas_opts``
+        for the operator constructors."""
+        p = degree
+        mx, my, mz = mesh.n_elements
+        nx, ny, nz = mx * p + 1, my * p + 1, mz * p + 1
+        nxp = _round_up(nx, 128)
+        ny_eff = _round_up(ny, 8)
+        itemsize = jnp.dtype(dtype).itemsize
+        best = None
+        for BZ in (16, 24, 32):
+            if BZ < 2 * p:
+                continue
+            nzb = -(-(nz + p) // BZ)
+            zt = nzb * BZ + 2 * p
+            for BY in range(32, max(min(ny_eff, 160), 32) + 1, 8):
+                BY = min(BY, ny_eff)
+                WY = BY + 2 * YOFF
+                nyb = -(-(ny + YOFF) // BY)
+                yt = nyb * BY + 2 * YOFF
+                SY = next(
+                    s for s in range(min(BY, 32), 0, -1)
+                    if BY % s == 0 and s % 8 == 0
+                )
+                # window + 2x input groups + 2x output tiles + the 2p+1
+                # roll temporaries Mosaic's scoped accounting sums
+                vmem = itemsize * nxp * (
+                    (BZ + 2 * p) * WY
+                    + 2 * BZ * WY
+                    + 2 * BZ * BY
+                    + (2 * p + 2) * BZ * SY
+                )
+                if vmem > vmem_budget:
+                    continue
+                proxy = zt * yt * (1.0 + WY / BY)
+                key = (proxy, -SY, BZ, BY)
+                if best is None or key < best[0]:
+                    best = (key, BZ, BY)
+        if best is None:  # tiny meshes: the constructor's own defaults
+            return dict(vmem_limit_bytes=100 << 20)
+        return dict(
+            block_z=best[1], block_y=best[2], vmem_limit_bytes=100 << 20
+        )
+
     def __init__(self, mesh, basis, dtype, block_z=16, block_y=None,
                  vmem_limit_bytes=None, phys_elems=None, faces=None):
         from .separable import _bands_from_dense, band_matrix_1d, diag_vector_1d

@@ -93,3 +93,52 @@ def test_full_cg_solve_in_padded_layout():
         np.testing.assert_allclose(
             np.asarray(L.unpad_flat(xa)), np.asarray(x_ref), rtol=1e-9, atol=1e-12
         )
+
+
+def test_auto_opts_invariants_and_kernel():
+    """StencilLayout.auto_opts picks valid tiles (BZ >= 2p, BY a multiple
+    of 8, VMEM estimate under budget) whose traffic proxy never exceeds
+    the constructor defaults', and a kernel built at a non-default BZ
+    (24, the cycle-33 auto pick) matches the separable backend."""
+    from deal_and_ceed_on_gpu_tpu.ops.pallas_stencil import (
+        YOFF,
+        StencilLayout,
+    )
+
+    for shape, p in [((96, 32, 32), 5), ((8, 8, 8), 5), ((4, 4, 4), 3)]:
+        mesh = BrickMesh(shape)
+        opts = StencilLayout.auto_opts(mesh, p)
+        bz = opts.get("block_z", 16)
+        by = opts.get("block_y")
+        assert bz >= 2 * p and bz % 8 == 0
+        if by is not None:
+            assert by % 8 == 0
+        # proxy(auto) <= proxy(defaults): build both layouts, compare
+        # padded totals weighted by the y-halo read amplification
+        basis = FESpace.create(
+            BrickMesh((2, 2, 2)), p, rule="gauss_lobatto", dtype=jnp.float64
+        ).basis
+
+        def proxy(L):
+            zt, yt, _ = L.padded_shape
+            return zt * yt * (1.0 + (L.BY + 2 * YOFF) / L.BY)
+
+        La = StencilLayout(mesh, basis, jnp.float64, **{
+            k: v for k, v in opts.items() if k != "vmem_limit_bytes"
+        })
+        Ld = StencilLayout(mesh, basis, jnp.float64)
+        assert proxy(La) <= proxy(Ld) * (1 + 1e-12)
+
+    # the BZ=24 tile path in the actual kernel (interpret mode)
+    mesh = BrickMesh((4, 3, 6), upper=(1.0, 0.9, 1.4))
+    space = FESpace.create(mesh, 5, rule="gauss_lobatto", dtype=jnp.float64)
+    op_ref = PoissonOperator(space, backend="separable")
+    op = PoissonOperator(
+        space, backend="pallas", pallas_opts=dict(block_z=24, block_y=32)
+    )
+    op._stencil.interpret = True
+    u = jnp.asarray(np.random.default_rng(2).standard_normal(space.n_dofs))
+    np.testing.assert_allclose(
+        np.asarray(op.vmult(u)), np.asarray(op_ref.vmult(u)),
+        rtol=1e-13, atol=1e-13,
+    )
