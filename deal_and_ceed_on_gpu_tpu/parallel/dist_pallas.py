@@ -99,6 +99,12 @@ class DistStencilOperator:
         self.overlap = overlap
         self.dtype = jnp.dtype(dtype)
         self._solver_cache = {}
+        if pallas_opts is None:
+            # padding-aware tile selection on the shard-local block (the
+            # same auto default as the single-chip operator path)
+            pallas_opts = StencilLayout.auto_opts(
+                part.local_mesh, part.degree, dtype
+            )
 
         space_loc = FESpace.create(
             part.local_mesh, part.degree, rule="gauss_lobatto", dtype=dtype

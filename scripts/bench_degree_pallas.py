@@ -27,9 +27,11 @@ for p in range(1, 9):
     space = FESpace.create(mesh, p, rule="gauss_lobatto", dtype=jnp.float32)
     n = space.n_dofs
     try:
+        from deal_and_ceed_on_gpu_tpu.ops.pallas_stencil import StencilLayout
+
         op = PoissonOperator(
             space, backend="pallas",
-            pallas_opts=dict(block_y=96, vmem_limit_bytes=100 << 20),
+            pallas_opts=StencilLayout.auto_opts(mesh, p, jnp.float32),
         )
         L = op.layout
         u0 = jnp.asarray(np.random.default_rng(0).standard_normal(n), jnp.float32)
