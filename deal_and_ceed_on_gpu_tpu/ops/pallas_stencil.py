@@ -163,7 +163,8 @@ class StencilLayout:
         )
 
     def __init__(self, mesh, basis, dtype, block_z=16, block_y=None,
-                 vmem_limit_bytes=None, phys_elems=None, faces=None):
+                 vmem_limit_bytes=None, phys_elems=None, faces=None,
+                 stream_dtype=None):
         from .separable import _bands_from_dense, band_matrix_1d, diag_vector_1d
 
         assert basis.collocation, "stencil kernel requires GLL collocation"
@@ -172,6 +173,18 @@ class StencilLayout:
         assert p <= YOFF, f"y halo fixed at {YOFF}, degree {p} too high"
         self.p = p
         self.dtype = jnp.dtype(dtype)
+        # reduced-precision STREAMING mode: the padded HBM vectors (and the
+        # kernel's DMA traffic, which bounds this kernel on-chip — see
+        # ARCHITECTURE.md "measured bounds") are held at ``stream_dtype``
+        # (bf16 halves the bytes) while the VMEM window, the band/scale
+        # tables, and every tap accumulation stay at the full compute
+        # dtype. Per-apply relative operator error is the bf16 rounding of
+        # u and of the output (~1e-3); full-accuracy solves recover f64
+        # residuals by using this operator as the inner stage of
+        # iterative refinement (solvers/ir.py).
+        self.stream_dtype = self.dtype if stream_dtype is None else jnp.dtype(
+            stream_dtype
+        )
         mx, my, mz = mesh.n_elements
         nx, ny, nz = mx * p + 1, my * p + 1, mz * p + 1
         self.real_shape = (nz, ny, nx)
@@ -180,14 +193,17 @@ class StencilLayout:
         # z-streaming needs the window overlap (2p planes) to fit in the
         # shifted tail: BZ >= 2p
         BZ = _round_up(max(block_z, 2 * p, 8), 8)
-        ny_eff = _round_up(ny, 8)
+        # sublane alignment of the output-tile stores: 8 rows at f32, 16 at
+        # bf16 (the packed-sublane granularity Mosaic must prove)
+        y_align = 16 if jnp.dtype(self.stream_dtype).itemsize < 4 else 8
+        ny_eff = _round_up(ny, y_align)
         if block_y is None:
             # Empirically best on the dev chip (sweep at 12.5M DoFs,
             # nxp=512): BY=32/SY=32. Mosaic's scoped-VMEM accounting sums
             # the 2p+1 roll temporaries, so larger y blocks fail to
             # compile at wide nxp; smaller subtiles run slower.
             block_y = 32
-        BY = min(_round_up(block_y, 8), ny_eff)
+        BY = min(_round_up(block_y, y_align), ny_eff)
         self.BZ, self.BY = BZ, BY
         # Mosaic's scoped-VMEM accounting sums all 2p+1 roll temporaries
         # instead of crediting reuse, so tiles that fit fine at runtime
@@ -199,7 +215,8 @@ class StencilLayout:
         # SY, e.g. 22 when ny_eff=88 caps BY, fails to compile). Always
         # exists because BY is rounded up to a multiple of 8.
         self.SY = next(
-            s for s in range(min(BY, 32), 0, -1) if BY % s == 0 and s % 8 == 0
+            s for s in range(min(BY, 32), 0, -1)
+            if BY % s == 0 and s % y_align == 0
         )
 
         self.nzb = -(-(nz + p) // BZ)  # z blocks cover padded rows [0, p+nz)
@@ -291,7 +308,7 @@ class StencilLayout:
     def pad_flat(self, u: jnp.ndarray) -> jnp.ndarray:
         nz, ny, nx = self.real_shape
         zt, yt, nxp = self.padded_shape
-        u3 = u.reshape(self.real_shape)
+        u3 = u.reshape(self.real_shape).astype(self.stream_dtype)
         return jnp.pad(
             u3,
             ((self.p, zt - nz - self.p), (YOFF, yt - ny - YOFF), (0, nxp - nx)),
@@ -399,13 +416,20 @@ def _kernel(
     nxp: int,
     nzb: int,
     has_value: bool = False,
+    mixed: bool = False,
 ):
     # ``rest``: [a_ref (tile-blocked value-coefficient operand, Helmholtz
-    # only)], out_hbm, then the scratch refs
+    # only)], out_hbm, then the scratch refs. ``mixed``: u/out stream at a
+    # narrower dtype than the f32 window/tables (bf16 streaming mode) —
+    # the initial window fill then lands in the narrow ginc/fill2 staging
+    # buffers and upconverts on the scale_rows store.
     if has_value:
-        a_ref, out_hbm, win, ginc, obuf, fill_sem, inc_sem, out_sem = rest
+        a_ref, *rest = rest
     else:
         a_ref = None
+    if mixed:
+        out_hbm, win, ginc, obuf, fill2, fill_sem, inc_sem, out_sem = rest
+    else:
         out_hbm, win, ginc, obuf, fill_sem, inc_sem, out_sem = rest
     j = pl.program_id(0)  # y block (outer)
     k = pl.program_id(1)  # z block (inner, fastest)
@@ -429,14 +453,41 @@ def _kernel(
             inc_sem.at[kk % 2],
         )
 
-    @pl.when(k == 0)
-    def _():
-        cp = pltpu.make_async_copy(
-            u_hbm.at[pl.ds(0, WZ), pl.ds(j * BY, WY), :], win, fill_sem
-        )
-        cp.start()
-        cp.wait()
-        win[...] = scale_rows(0, win[...])
+    if not mixed:
+
+        @pl.when(k == 0)
+        def _():
+            cp = pltpu.make_async_copy(
+                u_hbm.at[pl.ds(0, WZ), pl.ds(j * BY, WY), :], win, fill_sem
+            )
+            cp.start()
+            cp.wait()
+            win[...] = scale_rows(0, win[...])
+
+    else:
+
+        @pl.when(k == 0)
+        def _():
+            # narrow u cannot land in the f32 window directly: stage the
+            # first BZ planes in ginc[0] and the 2p overlap tail in fill2
+            # (ginc[1] is the k=0 prefetch target), upconvert via the
+            # scale_rows stores
+            cpa = pltpu.make_async_copy(
+                u_hbm.at[pl.ds(0, BZ), pl.ds(j * BY, WY), :],
+                ginc.at[0],
+                inc_sem.at[0],
+            )
+            cpb = pltpu.make_async_copy(
+                u_hbm.at[pl.ds(BZ, 2 * p), pl.ds(j * BY, WY), :],
+                fill2,
+                fill_sem,
+            )
+            cpa.start()
+            cpb.start()
+            cpa.wait()
+            cpb.wait()
+            win[0:BZ] = scale_rows(0, ginc[0])
+            win[BZ:WZ] = scale_rows(BZ, fill2[...])
 
     @pl.when(k + 1 < nzb)
     def _():
@@ -516,6 +567,9 @@ def _stencil_call(u, bz, by, bx, sz, syx, a_pad=None, *, layout: StencilLayout,
     zt, yt, nxp = L.padded_shape
     WZ, WY = L.BZ + 2 * L.p, L.BY + 2 * YOFF
     has_value = a_pad is not None
+    sd = L.stream_dtype  # HBM vector dtype (bf16 streaming mode)
+    cd = L.dtype  # window/table compute dtype
+    mixed = sd != cd
     kernel = functools.partial(
         _kernel,
         p=L.p,
@@ -525,11 +579,12 @@ def _stencil_call(u, bz, by, bx, sz, syx, a_pad=None, *, layout: StencilLayout,
         nxp=nxp,
         nzb=L.nzb,
         has_value=has_value,
+        mixed=mixed,
     )
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] + [
         pl.BlockSpec(memory_space=pltpu.VMEM)
     ] * 5
-    operands = [u.reshape(L.padded_shape), bz, by, bx, sz, syx]
+    operands = [u.reshape(L.padded_shape).astype(sd), bz, by, bx, sz, syx]
     if has_value:
         # tile-blocked coefficient operand in output-aligned coordinates
         # (pad_node_field); Pallas pipelines the per-tile DMA
@@ -537,20 +592,25 @@ def _stencil_call(u, bz, by, bx, sz, syx, a_pad=None, *, layout: StencilLayout,
             pl.BlockSpec((L.BZ, L.BY, nxp), lambda j, k: (k, j, 0))
         )
         operands.append(a_pad)
+    scratch = [
+        pltpu.VMEM((WZ, WY, nxp), cd),
+        pltpu.VMEM((2, L.BZ, WY, nxp), sd),
+        pltpu.VMEM((2, L.BZ, L.BY, nxp), sd),
+    ]
+    if mixed:
+        scratch.append(pltpu.VMEM((2 * L.p, WY, nxp), sd))
+    scratch += [
+        pltpu.SemaphoreType.DMA(()),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
     out = pl.pallas_call(
         kernel,
         grid=(L.nyb, L.nzb),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((zt, yt, nxp), u.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((WZ, WY, nxp), u.dtype),
-            pltpu.VMEM((2, L.BZ, WY, nxp), u.dtype),
-            pltpu.VMEM((2, L.BZ, L.BY, nxp), u.dtype),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        out_shape=jax.ShapeDtypeStruct((zt, yt, nxp), sd),
+        scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
@@ -570,11 +630,11 @@ class build_stencil_operator:
 
     def __init__(self, mesh, basis, dtype, block_z=16, block_y=None,
                  interpret=False, vmem_limit_bytes=None, value_coef=None,
-                 phys_elems=None, faces=None):
+                 phys_elems=None, faces=None, stream_dtype=None):
         self.layout = StencilLayout(
             mesh, basis, dtype, block_z, block_y,
             vmem_limit_bytes=vmem_limit_bytes,
-            phys_elems=phys_elems, faces=faces,
+            phys_elems=phys_elems, faces=faces, stream_dtype=stream_dtype,
         )
         self.interpret = interpret
         self._a = (

@@ -142,3 +142,79 @@ def test_auto_opts_invariants_and_kernel():
         np.asarray(op.vmult(u)), np.asarray(op_ref.vmult(u)),
         rtol=1e-13, atol=1e-13,
     )
+
+
+@pytest.mark.parametrize("shape,p", [((4, 4, 8), 2), ((2, 2, 2), 5)])
+def test_pallas_bf16_streaming(shape, p):
+    """stream_dtype=bfloat16 halves the kernel's HBM traffic while keeping
+    the VMEM window/tables at f32; the result must match the f32 operator
+    to bf16 rounding (inputs AND outputs are rounded once each)."""
+    mesh = BrickMesh(shape, upper=(1.0, 0.8, 1.3))
+    space = FESpace.create(mesh, p, rule="gauss_lobatto", dtype=jnp.float32)
+    op32 = PoissonOperator(space, backend="pallas")
+    op32._stencil.interpret = True
+    opbf = PoissonOperator(
+        space, backend="pallas", pallas_opts=dict(stream_dtype=jnp.bfloat16)
+    )
+    opbf._stencil.interpret = True
+    Lb = opbf.layout
+    u = jnp.asarray(
+        np.random.default_rng(2).standard_normal(space.n_dofs), dtype=jnp.float32
+    )
+    want = np.asarray(op32.vmult(u), dtype=np.float64)
+    ub = Lb.pad_flat(u)
+    assert ub.dtype == jnp.bfloat16
+    got = np.asarray(
+        Lb.unpad_flat(opbf.vmult_padded(ub)), dtype=np.float64
+    )
+    scale = max(1e-30, float(np.abs(want).max()))
+    assert np.max(np.abs(got - want)) / scale < 3e-2
+    # padding invariant survives in the narrow layout too
+    outp = np.asarray(opbf.vmult_padded(ub)).reshape(Lb.padded_shape)
+    dead = np.ones(Lb.padded_shape, dtype=bool)
+    dead[
+        Lb.p : Lb.p + Lb.real_shape[0], 8 : 8 + Lb.real_shape[1], : Lb.real_shape[2]
+    ] = False
+    np.testing.assert_array_equal(outp[dead], 0.0)
+
+
+def test_pallas_bf16_streaming_ir_recovers_f64():
+    """A bf16-streaming inner operator inside iterative refinement still
+    converges the f64 residual: the outer loop measures true residuals with
+    the exact separable f64 operator, the bf16 inner CG only needs ~1-2
+    digits of reduction per cycle."""
+    from deal_and_ceed_on_gpu_tpu import ReductionControl, solve_cg_merged
+    from deal_and_ceed_on_gpu_tpu.models import assemble_rhs
+
+    mesh = BrickMesh((3, 3, 3))
+    p = 3
+    space64 = FESpace.create(mesh, p, rule="gauss_lobatto", dtype=jnp.float64)
+    op64 = PoissonOperator(space64, backend="separable")
+    b = assemble_rhs(space64)
+    bnorm = float(jnp.linalg.norm(b))
+
+    space32 = FESpace.create(mesh, p, rule="gauss_lobatto", dtype=jnp.float32)
+    opbf = PoissonOperator(
+        space32, backend="pallas", pallas_opts=dict(stream_dtype=jnp.bfloat16)
+    )
+    opbf._stencil.interpret = True
+    Lb = opbf.layout
+    ctrl = ReductionControl(
+        80, tolerance=0.0, reduction=3e-2, success_on_max_steps=True
+    )
+
+    x = jnp.zeros_like(b)
+    res = 1.0
+    for _ in range(12):
+        r = b - op64.vmult(x)
+        res = float(jnp.linalg.norm(r)) / bnorm
+        if res <= 1e-10:
+            break
+        ep, _ = solve_cg_merged(
+            opbf.vmult_padded,
+            Lb.pad_flat(r.astype(jnp.float32)),
+            ctrl,
+            dot_dtype=jnp.float32,
+        )
+        x = x + Lb.unpad_flat(ep).astype(jnp.float64)
+    assert res <= 1e-10
