@@ -45,6 +45,7 @@ def measure(space, backend, pallas_opts=None):
     rng = np.random.default_rng(0)
     u0 = jnp.asarray(rng.standard_normal(n), dtype=space.dtype)
     u0 = u0 / jnp.linalg.norm(u0)
+    dot_dtype = None
     if backend == "pallas":
         op = PoissonOperator(space, backend="pallas", pallas_opts=pallas_opts)
         u = op.layout.pad_flat(u0)
@@ -52,6 +53,9 @@ def measure(space, backend, pallas_opts=None):
         # NOT active_spec(): sliced updates lose to XLA's DUS copies on
         # the dev chip (scripts/exp_active_cg.py)
         active = None
+        if op.layout.stream_dtype != op.layout.dtype:
+            # bf16-streaming vectors: dots accumulate at the compute dtype
+            dot_dtype = space.dtype
     else:
         op = PoissonOperator(space, backend=backend)
         u, vm = u0, op.vmult
@@ -62,7 +66,11 @@ def measure(space, backend, pallas_opts=None):
 
     n_it = 150  # long enough that the ~30 ms dispatch floor is <7%
     control = IterationNumberControl(n_it, 0.0)
-    solver = jax.jit(lambda b: solve_cg_merged(vm, b, control, active=active)[0])
+    solver = jax.jit(
+        lambda b: solve_cg_merged(
+            vm, b, control, active=active, dot_dtype=dot_dtype
+        )[0]
+    )
     jax.block_until_ready(solver(u))
     best_cg = 0.0
     for _ in range(N_REPS):
@@ -74,7 +82,10 @@ def measure(space, backend, pallas_opts=None):
     # normalization INTO the operator tables (fold_scale) — each chain
     # step is then one pure vmult, no extra elementwise pass
     v = jax.block_until_ready(jax.jit(vm)(u))
-    op.fold_scale(1.0 / max(float(jnp.linalg.norm(v)), 1.0))
+    # norm at the compute dtype (v may stream at bf16)
+    op.fold_scale(
+        1.0 / max(float(jnp.linalg.norm(v.astype(space.dtype))), 1.0)
+    )
     vmult = jax.jit(vm)
 
     @jax.jit
@@ -100,16 +111,24 @@ def main():
     # hand-tuned config and the jnp separable path as fallbacks
     from deal_and_ceed_on_gpu_tpu.ops.pallas_stencil import StencilLayout
 
+    auto = StencilLayout.auto_opts(mesh, DEGREE, jnp.dtype(DTYPE))
+    # headline = bf16-streaming stencil (half DMA bytes, f32 accumulate in
+    # VMEM; exact operator modulo one input + one output rounding — IR
+    # recovers f64 residuals, tests/test_pallas_stencil.py); fallbacks are
+    # the plain-f32 paths so a Mosaic flake can't zero out the artifact
     candidates = [
-        ("pallas", StencilLayout.auto_opts(mesh, DEGREE, jnp.dtype(DTYPE))),
-        ("pallas", dict(block_y=96, vmem_limit_bytes=100 << 20)),
-        ("pallas", None),
-        ("separable", None),
+        ("pallas", dict(auto, stream_dtype="bfloat16"), "bf16-stream"),
+        ("pallas", auto, "f32"),
+        ("pallas", dict(block_y=96, vmem_limit_bytes=100 << 20), "f32"),
+        ("pallas", None, "f32"),
+        ("separable", None, "f32"),
     ]
     # first candidate that works wins (the list is fastest-first)
-    for i, (backend, opts) in enumerate(candidates):
+    for i, (backend, opts, label) in enumerate(candidates):
         try:
-            (best, best_cg), used, fell_back = measure(space, backend, opts), backend, i > 0
+            (best, best_cg), used, fell_back = (
+                measure(space, backend, opts), backend, i > 0
+            )
             break
         except Exception:
             traceback.print_exc(file=sys.stderr)
@@ -120,18 +139,27 @@ def main():
     record = {
         "metric": (
             f"BP5 vmult throughput (p={DEGREE}, {space.n_dofs} DoFs, "
-            f"{DTYPE}, {used})"
+            f"{DTYPE} {label}, {used})"
         ),
         "value": round(gdofs, 4),
         "unit": "GDoF/s/chip",
         "vs_baseline": round(gdofs / BASELINE_GDOFS, 4),
         "pcg_merged_gdofs": round(best_cg / 1e9, 4),
     }
+    if label == "bf16-stream":
+        # the plain-f32 tuned path, measured alongside so BOTH the
+        # bf16-streaming and full-precision kernels are regression-guarded
+        try:
+            f32_best, f32_cg = measure(space, "pallas", auto)
+            record["f32_vmult_gdofs"] = round(f32_best / 1e9, 4)
+            record["f32_pcg_merged_gdofs"] = round(f32_cg / 1e9, 4)
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
     if fell_back:
         # a Mosaic compile flake downgraded the run — the number is real
-        # but NOT the tuned-pallas headline path; flag it so a silent
-        # kernel regression can't hide behind a healthy-looking fallback
-        record["fallback"] = used
+        # but NOT the tuned headline path; flag it so a silent kernel
+        # regression can't hide behind a healthy-looking fallback
+        record["fallback"] = f"{used}:{label}"
     print(json.dumps(record))
 
 

@@ -57,6 +57,12 @@ class BP5Config:
     # the measured-fastest stencil config on v5e is
     # dict(block_y=96, vmem_limit_bytes=100 << 20), see RESULTS.md)
     pallas_opts: dict | None = None
+    # backend="pallas" only: stream the padded HBM vectors (and the
+    # kernel's DMA traffic) at this dtype while accumulating in f32
+    # ("bfloat16" halves the solver+kernel bytes — measured +8% vmult,
+    # +21% pcg-merged at cycle 33). Solutions are rounded to ~1e-3; full
+    # accuracy needs iterative refinement around it (solvers/ir.py).
+    stream_dtype: str | None = None
 
 
 import contextlib
@@ -98,7 +104,9 @@ def estimate_lambda_max(op, n_dofs, iters=12, seed=0):
 
     def body(i, carry):
         u, lam = carry
-        v = op.vmult(u)
+        # cast back to the probe dtype: bf16-streaming operators return
+        # narrow vectors, which would flip the fori_loop carry dtype
+        v = op.vmult(u).astype(u.dtype)
         lam = jnp.linalg.norm(v)
         return v / lam, lam
 
@@ -122,6 +130,10 @@ def run_cycle(cycle: int, cfg: BP5Config):
 
         op_kwargs["pallas_opts"] = StencilLayout.auto_opts(
             mesh, cfg.degree, dtype
+        )
+    if cfg.backend == "pallas" and cfg.stream_dtype:
+        op_kwargs["pallas_opts"] = dict(
+            op_kwargs.get("pallas_opts") or {}, stream_dtype=cfg.stream_dtype
         )
     op = PoissonOperator(space, backend=cfg.backend, **op_kwargs)
     pcout(f"Cycle {cycle}")
@@ -149,17 +161,36 @@ def run_cycle(cycle: int, cfg: BP5Config):
         vm = op.vmult_padded
         diag = None
         active = None
-        unpack = L.unpad_flat
+        mixed = L.stream_dtype != L.dtype
+        # bf16-streaming vectors: dots/recurrences must accumulate at the
+        # compute dtype (bf16 sums over 10^7 entries are meaningless), and
+        # the solution is upconverted once for validation
+        dot_dtype = space.dtype if mixed else None
+        if mixed:
+            unpack = lambda xp: L.unpad_flat(xp).astype(space.dtype)  # noqa: E731
+            if cfg.validate:
+                pcout(
+                    "   NOTE: stream_dtype solves round the solution to "
+                    "~1e-3 rel.; wrap in iterative refinement "
+                    "(solvers/ir.py) for full accuracy"
+                )
+        else:
+            unpack = L.unpad_flat
     else:
         b_solve, vm, diag = b, op.vmult, op.diagonal()
         active = None
+        dot_dtype = None
         unpack = lambda x: x  # noqa: E731
 
     results = {}
     solution = None
 
     if "pcg-standard" in cfg.modes:
-        f = jax.jit(lambda b: solve_cg(vm, b, control, diag=diag, active=active))
+        f = jax.jit(
+            lambda b: solve_cg(
+                vm, b, control, diag=diag, active=active, dot_dtype=dot_dtype
+            )
+        )
         x, info = f(b_solve)  # warmup/compile
         jax.block_until_ready(x)
         times, iters = [], []
@@ -176,7 +207,9 @@ def run_cycle(cycle: int, cfg: BP5Config):
 
     if "pcg-merged" in cfg.modes:
         f = jax.jit(
-            lambda b: solve_cg_merged(vm, b, control, diag=diag, active=active)
+            lambda b: solve_cg_merged(
+                vm, b, control, diag=diag, active=active, dot_dtype=dot_dtype
+            )
         )
         x, info = f(b_solve)
         jax.block_until_ready(x)
@@ -252,7 +285,10 @@ def run_cycle(cycle: int, cfg: BP5Config):
                 0, cfg.n_iterations, lambda i, v: vm(v), u
             )
 
-        u0 = b_solve / jnp.linalg.norm(b_solve)
+        # normalize at the compute dtype (a bf16 12M-entry norm is junk),
+        # then cast back so the chain carry keeps the streaming dtype
+        nrm = jnp.linalg.norm(b_solve.astype(space.dtype))
+        u0 = (b_solve.astype(space.dtype) / nrm).astype(b_solve.dtype)
         with _vmult_precision(cfg):
             jax.block_until_ready(chain(u0))  # traced under the bench precision
         times = []
@@ -460,6 +496,15 @@ def main():
         ".vtr pieces + a .pvtr master to this path",
     )
     ap.add_argument(
+        "--stream-dtype",
+        default=None,
+        choices=["bfloat16"],
+        help="backend=pallas only: stream the padded HBM vectors at this "
+        "dtype (f32 accumulate in VMEM) — halves the solver+kernel bytes; "
+        "solutions are rounded to ~1e-3 (use solvers/ir.py for full "
+        "accuracy)",
+    )
+    ap.add_argument(
         "--mxu-precision",
         default="highest",
         choices=["highest", "high", "default"],
@@ -478,6 +523,7 @@ def main():
         backend=args.backend,
         modes=tuple(args.modes.split(",")),
         mxu_precision=args.mxu_precision,
+        stream_dtype=args.stream_dtype,
         # stencil tiles are auto-selected per mesh (StencilLayout
         # .auto_opts) when pallas_opts is None; the general kernel fixes
         # its MXU precision at construction, so the --mxu-precision flag
@@ -501,6 +547,8 @@ def main():
             "invocation also run at reduced precision (unlike the XLA "
             "backends, where it is scoped to the vmult benchmark)"
         )
+    if args.stream_dtype and args.backend != "pallas":
+        pcout("WARNING: --stream-dtype only applies to backend=pallas (ignored)")
     parts = [int(s) for s in args.shards.split("x")]
     pz, py, px = (parts + [1, 1])[:3]
     if pz * py * px > 1:

@@ -296,7 +296,9 @@ class DistStencilOperator:
         ylo, yh = YOFF, YOFF + nyl - 1
         if self.overlap and multi:
             for slot, val in sets:
-                out = out.at[slot].set(val)
+                # explicit downcast: plane partials are computed at the
+                # compute dtype even when out streams at bf16
+                out = out.at[slot].set(val.astype(out.dtype))
         else:
             # halo_combine in padded coordinates: z first so the y exchange
             # carries z-pair sums across shared corner lines
@@ -316,12 +318,15 @@ class DistStencilOperator:
                 out = out.at[:, yh : yh + 1].add(from_next)
 
         # identity (constrained) rows: S-zeroing made them 0 in out, so one
-        # fused FMA epilogue restores src there
+        # fused FMA epilogue restores src there. Cast back to the streaming
+        # dtype: in bf16-streaming mode the f32 tables/plane-partials
+        # promote intermediates to f32, and the solver loop carries must
+        # keep the narrow HBM dtype.
         m3 = jnp.maximum(
             jnp.maximum(T["mz1"][:, None, None], T["my1"][None, :, None]),
             T["mx1"][None, None, :],
         )
-        return out + u * m3
+        return (out + u * m3).astype(u.dtype)
 
     def _plane_exchange(self, u, T, apad):
         """Overlapped path: restricted plane applies -> ppermutes (fly
@@ -413,6 +418,16 @@ class DistStencilOperator:
 
 
 # ------------------------- jitted SPMD wrappers ------------------------ #
+def _mixed_kwargs(dop: DistStencilOperator, kwargs: dict) -> dict:
+    """bf16-streaming mode: dots must accumulate at the compute dtype (a
+    bf16 sum over 10^7 entries is meaningless); explicit caller dot_dtype
+    wins."""
+    if dop.layout.stream_dtype != dop.layout.dtype:
+        kwargs = dict(kwargs)
+        kwargs.setdefault("dot_dtype", dop.layout.dtype)
+    return kwargs
+
+
 def _mesh_for(dop: DistStencilOperator, mesh: Optional[Mesh]) -> Mesh:
     part = dop.part
     return mesh or make_device_mesh(part.pz, part.py, part.axis_z, part.axis_y)
@@ -442,7 +457,8 @@ def make_dist_vmult_pallas(dop: DistStencilOperator, mesh: Optional[Mesh] = None
         out_specs=grid,
         check_vma=False,  # pallas_call output has no vma annotation
     )
-    fn = jax.jit(lambda u: shmapped(u, *dop.shard_tables))
+    sd = dop.layout.stream_dtype  # = dtype unless bf16-streaming mode
+    fn = jax.jit(lambda u: shmapped(u.astype(sd), *dop.shard_tables))
     dop._solver_cache[key] = fn
     return fn
 
@@ -513,11 +529,16 @@ def solve_cg_merged_dist_pallas(
 ):
     """Distributed fused CG on the fused stencil kernel. ``b_padded``:
     ``padded_flat_shape`` operand (see :meth:`DistStencilOperator
-    .to_padded_blocks`). Returns ``(x_padded, info)``."""
+    .to_padded_blocks`). Returns ``(x_padded, info)``. In bf16-streaming
+    mode (``pallas_opts=dict(stream_dtype=...)``) b is cast to the narrow
+    dtype and the seven dot products accumulate at the compute dtype."""
+    kwargs = _mixed_kwargs(dop, kwargs)
     run = _make_solver(
         solve_cg_merged, dop, control, mesh, diag_padded is not None, **kwargs
     )
-    b = jnp.asarray(b_padded).reshape(dop.padded_flat_shape)
+    b = jnp.asarray(b_padded, dop.layout.stream_dtype).reshape(
+        dop.padded_flat_shape
+    )
     if diag_padded is not None:
         return run(b, jnp.asarray(diag_padded).reshape(dop.padded_flat_shape))
     return run(b)
@@ -531,10 +552,13 @@ def solve_cg_dist_pallas(
     diag_padded: Optional[jnp.ndarray] = None,
     **kwargs,
 ):
+    kwargs = _mixed_kwargs(dop, kwargs)
     run = _make_solver(
         solve_cg, dop, control, mesh, diag_padded is not None, **kwargs
     )
-    b = jnp.asarray(b_padded).reshape(dop.padded_flat_shape)
+    b = jnp.asarray(b_padded, dop.layout.stream_dtype).reshape(
+        dop.padded_flat_shape
+    )
     if diag_padded is not None:
         return run(b, jnp.asarray(diag_padded).reshape(dop.padded_flat_shape))
     return run(b)
