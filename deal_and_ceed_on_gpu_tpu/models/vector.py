@@ -32,7 +32,45 @@ class VectorOperator:
 
     def vmult(self, src: jnp.ndarray) -> jnp.ndarray:
         assert src.shape[0] == self.n_components
+        if getattr(self.scalar_op, "backend", None) in (
+            "pallas",
+            "pallas_general",
+        ):
+            # Pallas kernels don't batch under vmap (manual-DMA grid
+            # schedules); 3 unrolled kernel calls cost the same HBM
+            # traffic and reuse the same tables — the BP4/6 "shared
+            # metric terms" property holds either way
+            return jnp.stack(
+                [self.scalar_op.vmult(src[c]) for c in range(self.n_components)]
+            )
         return jax.vmap(self.scalar_op.vmult)(src)
+
+    # ------------------- pallas (padded-layout) path ------------------- #
+    @property
+    def layout(self):
+        return self.scalar_op.layout
+
+    def vmult_padded(self, src: jnp.ndarray) -> jnp.ndarray:
+        """Component-stacked padded apply ``[n_components, layout.n]`` —
+        whole vector-valued solves run in the stencil kernel's padded
+        layout exactly like scalar ones (the CG solvers are shape-blind)."""
+        assert src.shape[0] == self.n_components
+        return jnp.stack(
+            [
+                self.scalar_op.vmult_padded(src[c])
+                for c in range(self.n_components)
+            ]
+        )
+
+    def pad_flat(self, u: jnp.ndarray) -> jnp.ndarray:
+        L = self.layout
+        return jnp.stack([L.pad_flat(u[c]) for c in range(self.n_components)])
+
+    def unpad_flat(self, up: jnp.ndarray) -> jnp.ndarray:
+        L = self.layout
+        return jnp.stack(
+            [L.unpad_flat(up[c]) for c in range(self.n_components)]
+        )
 
     def __call__(self, src):
         return self.vmult(src)

@@ -47,6 +47,30 @@ def test_bp5_pallas_backend_cycle_smoke():
     assert np.isfinite(res["l2_norm"])
 
 
+def test_bp5_pcg_ir_mode_smoke():
+    """pcg-ir mode: mixed-precision refinement to a true f64 1e-10
+    residual inside the driver."""
+    cfg = bp5.BP5Config(
+        degree=2, n_iterations=10, n_repetitions=1, dtype="float64",
+        backend="separable", modes=("pcg-ir",),
+    )
+    res = bp5.run_cycle(10, cfg)
+    assert res["pcg-ir"] > 0 and np.isfinite(res["l2_norm"])
+
+
+def test_bp5_pallas_bf16_stream_cycle_smoke():
+    """run_cycle with backend='pallas' + stream_dtype=bfloat16: solves run
+    on bf16 HBM vectors with f32 dots (interpret-mode kernel on CPU)."""
+    cfg = bp5.BP5Config(
+        degree=2, n_iterations=12, n_repetitions=1, dtype="float32",
+        backend="pallas", modes=("pcg-merged", "vmult"),
+        pallas_opts=dict(interpret=True), stream_dtype="bfloat16",
+    )
+    res = bp5.run_cycle(8, cfg)
+    assert res["pcg-merged"] > 0 and res["vmult"] > 0
+    assert np.isfinite(res["l2_norm"])
+
+
 def test_bp5_pallas_general_backend_cycle_smoke():
     """run_cycle with backend='pallas_general' (Gauss rule)."""
     cfg = bp5.BP5Config(

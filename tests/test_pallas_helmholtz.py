@@ -23,6 +23,27 @@ def test_pallas_helmholtz_matches_structured(shape, p):
     )
 
 
+def test_pallas_helmholtz_bf16_streaming():
+    """The collocated value term composes with bf16 streaming: a(x) table
+    stays f32 in VMEM, vectors stream narrow — bf16-rounding accuracy."""
+    mesh = BrickMesh((3, 3, 4), upper=(1.0, 0.9, 1.2))
+    p = 3
+    space64 = FESpace.create(mesh, p, rule="gauss_lobatto", dtype=jnp.float64)
+    op_ref = HelmholtzOperator(space64, backend="structured")
+    space32 = FESpace.create(mesh, p, rule="gauss_lobatto", dtype=jnp.float32)
+    op = HelmholtzOperator(
+        space32, backend="pallas", pallas_opts=dict(stream_dtype=jnp.bfloat16)
+    )
+    op._stencil.interpret = True
+    u = jnp.asarray(np.random.default_rng(7).standard_normal(space64.n_dofs))
+    want = np.asarray(op_ref.vmult(u))
+    got = np.asarray(
+        op.vmult(jnp.asarray(u, jnp.float32)), dtype=np.float64
+    )
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() / scale < 3e-2
+
+
 def test_pallas_helmholtz_solve_and_fold_scale():
     mesh = BrickMesh((3, 3, 3))
     space = FESpace.create(mesh, 2, rule="gauss_lobatto", dtype=jnp.float64)
