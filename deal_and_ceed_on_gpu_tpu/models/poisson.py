@@ -44,6 +44,7 @@ class PoissonOperator(MatrixFreeOperator):
             super().__init__(space, "separable")
             self.backend = "pallas"
             self.coefficient = coefficient
+            self._pallas_opts = dict(pallas_opts or {})  # for VectorOperator
             self._stencil = build_stencil_operator(
                 space.mesh, space.basis, space.dtype, **(pallas_opts or {})
             )

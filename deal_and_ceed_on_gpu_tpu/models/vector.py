@@ -29,6 +29,26 @@ class VectorOperator:
         self.scalar_op = scalar_op
         self.n_components = n_components
         self.space = scalar_op.space
+        self._stacked = None
+        if (
+            getattr(scalar_op, "backend", None) == "pallas"
+            and getattr(scalar_op._stencil, "_a", None) is None
+        ):
+            # gradient-only stencil operators (Poisson/BP6) get the
+            # component-in-z STACKED kernel: one launch for all
+            # components, saturating the kernel at 1/n_components the
+            # per-component size (ops/pallas_stencil.py)
+            from ..ops.pallas_stencil import StackedStencilOperator
+
+            space = scalar_op.space
+            self._stacked = StackedStencilOperator(
+                space.mesh,
+                space.basis,
+                space.dtype,
+                n_components=n_components,
+                interpret=scalar_op._stencil.interpret,
+                **getattr(scalar_op, "_pallas_opts", {}),
+            )
 
     def vmult(self, src: jnp.ndarray) -> jnp.ndarray:
         assert src.shape[0] == self.n_components
@@ -48,12 +68,20 @@ class VectorOperator:
     # ------------------- pallas (padded-layout) path ------------------- #
     @property
     def layout(self):
-        return self.scalar_op.layout
+        return (
+            self._stacked.layout
+            if self._stacked is not None
+            else self.scalar_op.layout
+        )
 
     def vmult_padded(self, src: jnp.ndarray) -> jnp.ndarray:
-        """Component-stacked padded apply ``[n_components, layout.n]`` —
-        whole vector-valued solves run in the stencil kernel's padded
-        layout exactly like scalar ones (the CG solvers are shape-blind)."""
+        """Padded apply for whole vector solves in the stencil kernel's
+        layout (the CG solvers are shape-blind). With the stacked kernel
+        (gradient-only operators) ``src`` is the flat z-stacked vector
+        from :meth:`pad_flat` and ALL components ride one kernel launch;
+        otherwise ``[n_components, layout.n]`` with per-component calls."""
+        if self._stacked is not None:
+            return self._stacked.vmult_padded(src)
         assert src.shape[0] == self.n_components
         return jnp.stack(
             [
@@ -63,10 +91,14 @@ class VectorOperator:
         )
 
     def pad_flat(self, u: jnp.ndarray) -> jnp.ndarray:
+        if self._stacked is not None:
+            return self._stacked.pad_flat(u)
         L = self.layout
         return jnp.stack([L.pad_flat(u[c]) for c in range(self.n_components)])
 
     def unpad_flat(self, up: jnp.ndarray) -> jnp.ndarray:
+        if self._stacked is not None:
+            return self._stacked.unpad_flat(up)
         L = self.layout
         return jnp.stack(
             [L.unpad_flat(up[c]) for c in range(self.n_components)]
@@ -77,6 +109,9 @@ class VectorOperator:
 
     def fold_scale(self, s: float) -> None:
         self.scalar_op.fold_scale(s)
+        if self._stacked is not None:
+            # the stacked kernel owns private table copies
+            self._stacked.fold_scale(s)
 
     def diagonal(self) -> jnp.ndarray:
         d = self.scalar_op.diagonal()

@@ -47,6 +47,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
     "StencilLayout",
+    "StackedStencilOperator",
     "build_stencil_operator",
     "constrained_vmult_padded",
     "stencil_plane_padded",
@@ -618,6 +619,143 @@ def _stencil_call(u, bz, by, bx, sz, syx, a_pad=None, *, layout: StencilLayout,
         ),
     )(*operands)
     return out.reshape(-1)
+
+
+class StackedStencilOperator:
+    """Vector-valued (BP4/6-style) stencil apply in ONE kernel call:
+    ``n_components`` z-stacked component slabs share the y/x tables and
+    the kernel's grid, so the kernel processes ``n_components *
+    n_dofs`` points per launch — at sub-saturation sizes (the kernel
+    saturates from ~6M points, RESULTS.md cycle sweep) this runs the
+    components at the large-grid rate instead of three separate
+    sub-saturated launches (measured: 3x4.17M DoFs p=5 vmult 6.2 vs 2.7
+    GDoF/s f32, 6.8 vs 3.1 bf16-streaming — 2.2-2.3x).
+
+    Layout: component k occupies padded z rows ``[k*Sz, (k+1)*Sz)`` with
+    ``Sz = nzb*BZ`` (tile-aligned slab stride), its real rows at
+    ``k*Sz + p``. Slab-gap rows carry zero band rows and zero scaling
+    weights, so z taps never couple components (the same mechanism that
+    isolates dead padding in the scalar layout); zero padding stays an
+    invariant of the operator and of every CG update, so whole vector
+    solves run in the stacked layout. Dirichlet handling mirrors
+    ``parallel/dist_pallas.py``: the kernel computes ``M A M`` via the
+    S-zeroed tables and one fused ``out + u * m3`` epilogue restores the
+    identity rows (per-slab z faces, global y/x faces).
+
+    TPU-native replacement for the reference's vector BPs, which run the
+    scalar cell kernel on multi-component vectors sharing metric terms
+    (SURVEY.md section 7 step 7; cf. ``bp5/step-64.cu:118-194``)."""
+
+    def __init__(self, mesh, basis, dtype, n_components=3, interpret=False,
+                 value_coef=None, **opts):
+        assert value_coef is None, "stacked kernel: gradient terms only"
+        base = StencilLayout(mesh, basis, dtype, **opts)
+        self.base = base
+        self.n_components = nc = n_components
+        self.interpret = interpret
+        p = base.p
+        zt, yt, nxp = base.padded_shape
+        Sz = base.nzb * base.BZ  # tile-aligned slab stride (>= p + nz)
+        self.Sz = Sz
+        zt3 = nc * Sz + 2 * p
+
+        # stacked z tables: the scalar band/scale vectors placed at each
+        # slab offset (rows beyond p+nz are zero in the scalar tables, so
+        # the 2p-row overlap between slab windows adds only zeros)
+        bz_np = np.asarray(base.bz)
+        sz_np = np.asarray(base.sz)
+        bz3 = np.zeros((zt3, bz_np.shape[1]), bz_np.dtype)
+        sz3 = np.zeros((zt3, 1), sz_np.dtype)
+        for k in range(nc):
+            bz3[k * Sz : k * Sz + zt] += bz_np
+            sz3[k * Sz : k * Sz + zt] += sz_np
+
+        import copy
+
+        L = copy.copy(base)
+        L.bz = jnp.asarray(bz3)
+        L.sz = jnp.asarray(sz3)
+        # private y/x copies so fold_scale cannot alias a scalar operator
+        L.by = base.by * jnp.ones((), base.by.dtype)
+        L.bx = base.bx * jnp.ones((), base.bx.dtype)
+        L.padded_shape = (zt3, yt, nxp)
+        L.nzb = nc * base.nzb
+        L.n = zt3 * yt * nxp
+        self.layout = L
+
+        # identity-row indicator (Dirichlet faces; dead rows are zero in
+        # both u and out, so marking only the real faces suffices)
+        nz, ny, nx = base.real_shape
+        mz1 = np.zeros(zt3)
+        for k in range(nc):
+            mz1[k * Sz + p] = 1.0
+            mz1[k * Sz + p + nz - 1] = 1.0
+        my1 = np.zeros(yt)
+        my1[YOFF] = my1[YOFF + ny - 1] = 1.0
+        mx1 = np.zeros(nxp)
+        mx1[0] = mx1[nx - 1] = 1.0
+        dt = base.dtype
+        self._m3 = (
+            jnp.maximum(
+                jnp.maximum(
+                    jnp.asarray(mz1, dt)[:, None, None],
+                    jnp.asarray(my1, dt)[None, :, None],
+                ),
+                jnp.asarray(mx1, dt)[None, None, :],
+            )
+        )
+
+    # ------------------------- vector transfer ------------------------- #
+    def pad_flat(self, u: jnp.ndarray) -> jnp.ndarray:
+        """``[n_components, n_dofs]`` -> stacked padded flat vector."""
+        B = self.base
+        nc, p = self.n_components, B.p
+        nz, ny, nx = B.real_shape
+        _, yt, nxp = B.padded_shape
+        u4 = u.reshape(nc, nz, ny, nx).astype(B.stream_dtype)
+        u4 = jnp.pad(
+            u4,
+            (
+                (0, 0),
+                (p, self.Sz - p - nz),
+                (YOFF, yt - ny - YOFF),
+                (0, nxp - nx),
+            ),
+        ).reshape(nc * self.Sz, yt, nxp)
+        return jnp.pad(u4, ((0, 2 * p), (0, 0), (0, 0))).reshape(-1)
+
+    def unpad_flat(self, up: jnp.ndarray) -> jnp.ndarray:
+        B = self.base
+        nc, p = self.n_components, B.p
+        nz, ny, nx = B.real_shape
+        zt3, yt, nxp = self.layout.padded_shape
+        u4 = up.reshape(zt3, yt, nxp)[: nc * self.Sz].reshape(
+            nc, self.Sz, yt, nxp
+        )
+        return u4[:, p : p + nz, YOFF : YOFF + ny, :nx].reshape(nc, -1)
+
+    # ----------------------------- apply ------------------------------- #
+    def vmult_padded(self, u: jnp.ndarray) -> jnp.ndarray:
+        L = self.layout
+        p = L.p
+        out = _stencil_call(
+            u, L.bz, L.by, L.bx, L.sz, L.syx, None,
+            layout=L, interpret=self.interpret,
+        ).reshape(L.padded_shape)
+        # pad strips the output tiles never write, then the fused
+        # identity-face restore (dist_pallas epilogue, cast back to the
+        # streaming dtype)
+        u3 = u.reshape(L.padded_shape)
+        out = out.at[:p].set(0.0).at[p + L.nzb * L.BZ :].set(0.0)
+        out = out.at[:, :YOFF].set(0.0).at[:, YOFF + L.nyb * L.BY :].set(0.0)
+        return ((out + u3 * self._m3).astype(u.dtype)).reshape(-1)
+
+    def __call__(self, u):
+        return self.vmult_padded(u)
+
+    def fold_scale(self, s: float) -> None:
+        L = self.layout
+        L.bz, L.by, L.bx = L.bz * s, L.by * s, L.bx * s
 
 
 class build_stencil_operator:

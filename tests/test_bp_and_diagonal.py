@@ -91,6 +91,32 @@ def test_vector_pallas_padded_solve():
     )
 
 
+def test_vector_pallas_stacked_bf16_vmult():
+    """The stacked vector kernel composes with bf16 streaming."""
+    from deal_and_ceed_on_gpu_tpu.models.vector import VectorOperator
+
+    mesh = BrickMesh((2, 3, 4))
+    p = 3
+    space64 = FESpace.create(mesh, p, rule="gauss_lobatto", dtype=jnp.float64)
+    ref = VectorOperator(PoissonOperator(space64, backend="separable"), 3)
+    space32 = FESpace.create(mesh, p, rule="gauss_lobatto", dtype=jnp.float32)
+    sop = PoissonOperator(
+        space32, backend="pallas",
+        pallas_opts=dict(stream_dtype=jnp.bfloat16),
+    )
+    sop._stencil.interpret = True
+    vop = VectorOperator(sop, 3)
+    u = jnp.asarray(
+        np.random.default_rng(9).standard_normal((3, space64.n_dofs))
+    )
+    want = np.asarray(ref.vmult(u))
+    up = vop.pad_flat(jnp.asarray(u, jnp.float32))
+    assert up.dtype == jnp.bfloat16
+    got = np.asarray(vop.unpad_flat(vop.vmult_padded(up)), np.float64)
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() / scale < 3e-2
+
+
 @pytest.mark.parametrize(
     "make,kind,kw",
     [
