@@ -118,12 +118,19 @@ def run_cycle(cycle: int, cfg: BP5Config):
     mesh = BrickMesh.bp5_cycle(cycle)
     dtype = jnp.dtype(cfg.dtype)
     space = FESpace.create(mesh, cfg.degree, n_q=cfg.n_q, rule=cfg.rule, dtype=dtype)
+    # Mosaic kernels are f32/bf16-only: with --dtype float64 the f64
+    # operator (pcg-standard/merged/vmult/validation) runs the separable
+    # Kronecker path; pcg-ir still builds its f32 inner operator on the
+    # requested pallas backend.
+    eff_backend = cfg.backend
+    if dtype == jnp.float64 and cfg.backend in ("pallas", "pallas_general"):
+        eff_backend = "separable"
     op_kwargs = (
         {"pallas_opts": cfg.pallas_opts}
-        if cfg.backend in ("pallas", "pallas_general")
+        if eff_backend in ("pallas", "pallas_general")
         else {}
     )
-    if cfg.backend == "pallas" and cfg.pallas_opts is None:
+    if eff_backend == "pallas" and cfg.pallas_opts is None:
         # per-mesh padding-aware tile selection (the grid-rounded padding
         # varies 1.4-2.7x with tile choice across the sweep shapes)
         from ..ops.pallas_stencil import StencilLayout
@@ -131,22 +138,22 @@ def run_cycle(cycle: int, cfg: BP5Config):
         op_kwargs["pallas_opts"] = StencilLayout.auto_opts(
             mesh, cfg.degree, dtype
         )
-    if cfg.backend == "pallas" and cfg.stream_dtype:
+    if eff_backend == "pallas" and cfg.stream_dtype:
         op_kwargs["pallas_opts"] = dict(
             op_kwargs.get("pallas_opts") or {}, stream_dtype=cfg.stream_dtype
         )
-    op = PoissonOperator(space, backend=cfg.backend, **op_kwargs)
+    op = PoissonOperator(space, backend=eff_backend, **op_kwargs)
     pcout(f"Cycle {cycle}")
     pcout(f"   Number of active cells:       {mesh.n_cells}")
     pcout(f"   Number of degrees of freedom: {space.n_dofs}")
     pcout("")
 
-    b = assemble_rhs(space, 1.0, backend=cfg.backend)
+    b = assemble_rhs(space, 1.0, backend=eff_backend)
     b = jax.block_until_ready(b)
     norm_b = float(jnp.linalg.norm(b))
     control = IterationNumberControl(cfg.n_iterations, 1e-6 * norm_b)
 
-    if cfg.backend == "pallas":
+    if eff_backend == "pallas":
         # whole solves run in the kernel-owned padded layout (zero padding
         # is an invariant of the operator and of every CG update); vectors
         # are padded once here and unpadded once for validation. diag=None
@@ -269,19 +276,19 @@ def run_cycle(cycle: int, cfg: BP5Config):
             if cfg.backend == "pallas":
                 from ..ops.pallas_stencil import StencilLayout
 
-                kw32["pallas_opts"] = StencilLayout.auto_opts(
-                    mesh, cfg.degree, jnp.float32
+                base_opts = (
+                    dict(cfg.pallas_opts)
+                    if cfg.pallas_opts
+                    else StencilLayout.auto_opts(mesh, cfg.degree, jnp.float32)
                 )
                 if cfg.stream_dtype:
-                    kw32["pallas_opts"]["stream_dtype"] = cfg.stream_dtype
+                    base_opts["stream_dtype"] = cfg.stream_dtype
+                kw32["pallas_opts"] = base_opts
             op32 = PoissonOperator(space32, backend=cfg.backend, **kw32)
             # f64 residual operator: the Mosaic kernel is f32-only, so the
-            # f64 apply uses the separable Kronecker path
-            op64 = (
-                op
-                if cfg.backend not in ("pallas", "pallas_general")
-                else PoissonOperator(space, backend="separable")
-            )
+            # f64 apply uses the separable Kronecker path (eff_backend
+            # already fell back to it for pallas backends under f64)
+            op64 = op
             x, info = solve_cg_ir(op32, op64, b, rtol=1e-10)
             jax.block_until_ready(x)
             times, its = [], []

@@ -37,6 +37,7 @@ the symmetric 6-plane merged tensor of the reference's
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -178,17 +179,27 @@ def _gen_call(u_local, tabs, streamed, *, shapes, grad_kind, val_kind,
         _gen_kernel, grad_kind=grad_kind, val_kind=val_kind,
         acc_dtype=acc_dtype, precision=precision,
     )
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((BE, N), lambda e: (e, 0)),
-        out_shape=jax.ShapeDtypeStruct((Ep, N), dt),
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=vmem_limit_bytes,
-        ),
-    )(*operands)
+    # Trace with x64 disabled on the Mosaic (f32) path: under
+    # jax_enable_x64 the BlockSpec index-map literals bind as weak int64
+    # constants that Mosaic cannot legalize ("func.return (i64, i64)").
+    # The f64 interpret path (CPU tests) keeps x64 on.
+    x64_ctx = (
+        contextlib.nullcontext()
+        if dt == jnp.float64
+        else jax.enable_x64(False)
+    )
+    with x64_ctx:
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((BE, N), lambda e: (e, 0)),
+            out_shape=jax.ShapeDtypeStruct((Ep, N), dt),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit_bytes,
+            ),
+        )(*operands)
     return out[:E]
 
 

@@ -37,6 +37,7 @@ Requires BZ >= 2p (window overlap fits in the shifted tail).
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -436,6 +437,12 @@ def _kernel(
     k = pl.program_id(1)  # z block (inner, fastest)
     WZ, WY = BZ + 2 * p, BY + 2 * YOFF
 
+    def mod2(i):
+        # NOT ``i % 2``: jnp.remainder embeds the Python literal as a weak
+        # int64 constant under jax_enable_x64, and Mosaic's int64->int32
+        # convert lowering self-recurses (RecursionError at trace time)
+        return jax.lax.rem(i, jnp.asarray(2, jnp.int32))
+
     # window k = padded planes [k*BZ, k*BZ+WZ), pre-scaled by S; the output
     # tile is padded planes [k*BZ+p, ..+BZ) x y rows [j*BY+YOFF, ..+BY).
     def scale_rows(z0, rows):
@@ -450,8 +457,8 @@ def _kernel(
         # the BZ planes window kk adds on top of window kk-1
         return pltpu.make_async_copy(
             u_hbm.at[pl.ds(kk * BZ + 2 * p, BZ), pl.ds(j * BY, WY), :],
-            ginc.at[kk % 2],
-            inc_sem.at[kk % 2],
+            ginc.at[mod2(kk)],
+            inc_sem.at[mod2(kk)],
         )
 
     if not mixed:
@@ -499,13 +506,13 @@ def _kernel(
         # slide the window: keep the 2p-plane overlap, append the new group
         win[0 : 2 * p] = win[BZ:WZ]
         prefetch(k).wait()
-        win[2 * p : WZ] = scale_rows(k * BZ + 2 * p, ginc[k % 2])
+        win[2 * p : WZ] = scale_rows(k * BZ + 2 * p, ginc[mod2(k)])
 
     def out_copy(kk):
         return pltpu.make_async_copy(
-            obuf.at[kk % 2],
+            obuf.at[mod2(kk)],
             out_hbm.at[pl.ds(kk * BZ + p, BZ), pl.ds(j * BY + YOFF, BY), :],
-            out_sem.at[kk % 2],
+            out_sem.at[mod2(kk)],
         )
 
     # output slot reuse: wait for the DMA issued two z-steps ago
@@ -514,7 +521,7 @@ def _kernel(
         out_copy(k - 2).wait()
 
     bz_s = bz_ref[pl.ds(k * BZ + p, BZ), :]  # bands at the output rows
-    oslot = k % 2
+    oslot = mod2(k)
 
     for ys in range(0, BY, SY):
         # all 3(2p+1) taps accumulate into ONE value (the rescaled form
@@ -532,10 +539,15 @@ def _kernel(
         c_tile = win[p : p + BZ, YOFF + ys : YOFF + ys + SY, :]
         # x taps: STATIC lane rotates (a dynamic-shift roll lowers to
         # ~log2(nx) select stages); wrapped lanes are killed by the zero
-        # band entries outside the domain
+        # band entries outside the domain. The shift operand must be an
+        # explicit int32: under jax_enable_x64 a Python int binds as an
+        # int64 jaxpr constant, and Mosaic's int64->int32 convert lowering
+        # self-recurses (RecursionError at trace time).
         for t in range(2 * p + 1):
             shift = (p - t) % nxp  # pltpu.roll requires non-negative shifts
-            acc = acc + pltpu.roll(c_tile, shift, 2) * bx_ref[t]
+            acc = acc + pltpu.roll(
+                c_tile, jnp.asarray(shift, jnp.int32), 2
+            ) * bx_ref[t]
         if has_value:
             # Helmholtz value term: diag(d3*a) u = S diag(a) S u, so in the
             # rescaled form it is ONE extra multiply of the scaled input at
@@ -605,19 +617,31 @@ def _stencil_call(u, bz, by, bx, sz, syx, a_pad=None, *, layout: StencilLayout,
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
     ]
-    out = pl.pallas_call(
-        kernel,
-        grid=(L.nyb, L.nzb),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((zt, yt, nxp), sd),
-        scratch_shapes=scratch,
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            has_side_effects=True,
-            vmem_limit_bytes=L.vmem_limit_bytes,
-        ),
-    )(*operands)
+    # Trace the kernel call with x64 disabled: under jax_enable_x64 the
+    # default BlockSpec index maps (and any Python-int index literal)
+    # bind as weak int64 constants, which Mosaic cannot legalize
+    # ("func.return (i64, i64)"). On the Mosaic path operands are
+    # f32/bf16 and every in-kernel index is explicit int32, so the trace
+    # is identical; the f64 interpret path (CPU tests) keeps x64 on.
+    x64_ctx = (
+        contextlib.nullcontext()
+        if cd == jnp.float64
+        else jax.enable_x64(False)
+    )
+    with x64_ctx:
+        out = pl.pallas_call(
+            kernel,
+            grid=(L.nyb, L.nzb),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct((zt, yt, nxp), sd),
+            scratch_shapes=scratch,
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                vmem_limit_bytes=L.vmem_limit_bytes,
+            ),
+        )(*operands)
     return out.reshape(-1)
 
 
