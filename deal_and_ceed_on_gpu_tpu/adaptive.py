@@ -448,6 +448,11 @@ class AdaptiveSpace:
         ``bp5/fe_evaluation_gl.h:167-168``)."""
         if self.hang_rows.size == 0:
             return v
+        if lg.scatter_mode() == "raw":
+            # current-libtpu fast path: skips the column-order permutation
+            # gather entirely (see local_global.make_scatter_plan)
+            v = v.at[self.hang_cols].add(self.hang_w * v[self.hang_rows])
+            return jnp.where(self.hanging_mask, jnp.zeros((), v.dtype), v)
         vals = (self.hang_w * v[self.hang_rows])[self._hang_col_order]
         add = jax.ops.segment_sum(
             vals, self._hang_cols_sorted, self.n_dofs, indices_are_sorted=True
@@ -695,6 +700,9 @@ def amr_loop(
     make_op = make_op or AdaptivePoissonOperator
     mesh = AdaptiveMesh.from_brick(base)
     history = []
+    # the MG coarsest level is always the conforming base brick, so one
+    # dense coarse inverse serves every refinement step (per dtype)
+    coarse_inv_cache: dict = {}
     for step in range(n_steps + 1):
         space = AdaptiveSpace(mesh, degree, dtype=dtype)
         op = make_op(space)
@@ -709,7 +717,11 @@ def amr_loop(
             assert jnp.dtype(dtype) == jnp.float64, "mg-ir needs f64 outer"
             s32 = AdaptiveSpace(mesh, degree, dtype=jnp.float32)
             op32 = make_op(s32)
-            mg32 = AdaptiveMultigrid(s32, fine_op=op32, make_op=make_op)
+            mg32 = AdaptiveMultigrid(
+                s32, fine_op=op32, make_op=make_op,
+                coarse_inv=coarse_inv_cache.get("f32"),
+            )
+            coarse_inv_cache["f32"] = mg32.coarse_inv_np
             x, ir_info = solve_cg_ir(
                 op32, op, b, rtol=reduction, diag32=mg32.vcycle
             )
@@ -717,7 +729,11 @@ def amr_loop(
         elif precond == "mg" and deep:
             from .solvers import AdaptiveMultigrid
 
-            mg = AdaptiveMultigrid(space, fine_op=op, make_op=make_op)
+            mg = AdaptiveMultigrid(
+                space, fine_op=op, make_op=make_op,
+                coarse_inv=coarse_inv_cache.get("main"),
+            )
+            coarse_inv_cache["main"] = mg.coarse_inv_np
             x, info = solve_cg(op.vmult, b, control, diag=mg.vcycle)
         else:
             x, info = solve_cg_merged(op.vmult, b, control)

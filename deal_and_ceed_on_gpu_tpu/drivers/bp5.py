@@ -118,12 +118,36 @@ def run_cycle(cycle: int, cfg: BP5Config):
     mesh = BrickMesh.bp5_cycle(cycle)
     dtype = jnp.dtype(cfg.dtype)
     space = FESpace.create(mesh, cfg.degree, n_q=cfg.n_q, rule=cfg.rule, dtype=dtype)
+    # backend="auto": the measured solver-selection guidance (RESULTS.md
+    # cycle/degree sweeps) as a driver policy — the fused stencil kernel
+    # saturates from ~6M points and wins decisively there; below that the
+    # XLA separable path leads in f32 (with bf16 streaming the kernel
+    # leads from ~4M, so the threshold drops).
+    if cfg.backend == "auto":
+        if cfg.rule != "gauss_lobatto" or not mesh.is_uniform:
+            cfg = dataclasses.replace(cfg, backend="pallas_general")
+        else:
+            thresh = 4_000_000 if cfg.stream_dtype else 6_000_000
+            cfg = dataclasses.replace(
+                cfg,
+                backend=(
+                    "pallas"
+                    if mesh.n_dofs(cfg.degree) >= thresh
+                    else "separable"
+                ),
+            )
+        pcout(f"   backend auto -> {cfg.backend}")
     # Mosaic kernels are f32/bf16-only: with --dtype float64 the f64
     # operator (pcg-standard/merged/vmult/validation) runs the separable
     # Kronecker path; pcg-ir still builds its f32 inner operator on the
-    # requested pallas backend.
+    # requested pallas backend. Interpret mode (CPU tests) runs f64
+    # through the kernels directly and keeps the padded-layout path.
     eff_backend = cfg.backend
-    if dtype == jnp.float64 and cfg.backend in ("pallas", "pallas_general"):
+    if (
+        dtype == jnp.float64
+        and cfg.backend in ("pallas", "pallas_general")
+        and not (cfg.pallas_opts or {}).get("interpret")
+    ):
         eff_backend = "separable"
     op_kwargs = (
         {"pallas_opts": cfg.pallas_opts}
@@ -541,7 +565,14 @@ def main():
     ap.add_argument("--iterations", type=int, default=200)
     ap.add_argument("--repetitions", type=int, default=10)
     ap.add_argument("--dtype", default="float32")
-    ap.add_argument("--backend", default="structured")
+    ap.add_argument(
+        "--backend",
+        default="structured",
+        help="structured | gather | separable | pallas | pallas_general | "
+        "auto (auto picks per cycle from the measured guidance: pallas "
+        "from ~6M DoFs f32 / ~4M with --stream-dtype, separable below, "
+        "pallas_general for Gauss rules and mapped meshes)",
+    )
     ap.add_argument("--modes", default="pcg-standard,pcg-merged,vmult")
     ap.add_argument(
         "--shards",

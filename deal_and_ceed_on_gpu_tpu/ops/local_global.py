@@ -119,25 +119,49 @@ def make_scatter_plan(elem_dof_map, n_dofs: int):
     (measured minutes per apply at 4M DoFs — see ops/pallas_general.py);
     gathering by a precomputed permutation (unique indices — fast) and
     summing SORTED segments is the fast equivalent. Returns
-    ``(order, sorted_ids)`` int32 device arrays for
-    :func:`scatter_indexed_sorted`."""
+    ``(order, sorted_ids, flat_idx)`` int32 device arrays for
+    :func:`scatter_indexed_sorted`.
+
+    PLATFORM DRIFT NOTE: which variant is faster depends on the libtpu
+    in the terminal. An earlier libtpu lowered duplicate-index
+    ``.at[].add`` catastrophically (measured minutes per apply at 4M
+    DoFs), making the sorted plan mandatory; the 2026-08 libtpu lowers
+    it FASTER than the plan (5.3 vs 10.7 ms at 621k values, 237 vs 369
+    ms at 21M — the plan pays an extra permutation gather). The default
+    follows the current measurement; set ``DLCG_SCATTER_MODE=sorted``
+    to force the plan path if the platform regresses."""
     import numpy as np
 
-    flat = np.asarray(elem_dof_map).reshape(-1)
+    flat = np.asarray(elem_dof_map).reshape(-1).astype(np.int32)
     order = np.argsort(flat, kind="stable")
     return (
         jnp.asarray(order.astype(np.int32)),
-        jnp.asarray(flat[order].astype(np.int32)),
+        jnp.asarray(flat[order]),
+        jnp.asarray(flat),
     )
+
+
+def scatter_mode() -> str:
+    """``raw`` (duplicate-index ``.at[].add``, current-libtpu fast path)
+    or ``sorted`` (permutation + sorted segment-sum) — see
+    :func:`make_scatter_plan`'s platform-drift note."""
+    import os
+
+    return os.environ.get("DLCG_SCATTER_MODE", "raw")
 
 
 def scatter_indexed_sorted(v: jnp.ndarray, plan, n_dofs: int) -> jnp.ndarray:
     """:func:`scatter_indexed` through a :func:`make_scatter_plan` — same
-    result (deterministic: each DoF's contributions sum in sorted source
-    order), TPU-fast."""
+    result up to summation order (each mode is deterministic: XLA
+    scatter-add and sorted segment-sum both combine duplicates in a
+    fixed order)."""
     import jax
 
-    order, ids = plan
+    if len(plan) == 3 and scatter_mode() == "raw":
+        return jnp.zeros((n_dofs,), dtype=v.dtype).at[plan[2]].add(
+            v.reshape(-1)
+        )
+    order, ids = plan[0], plan[1]
     return jax.ops.segment_sum(
         v.reshape(-1)[order], ids, n_dofs, indices_are_sorted=True
     )

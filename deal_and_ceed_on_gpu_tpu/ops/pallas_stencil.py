@@ -73,13 +73,16 @@ def constrained_vmult_padded(stencil, src: jnp.ndarray) -> jnp.ndarray:
     yhi = YOFF + L.nyb * L.BY
     s3 = src.reshape(L.padded_shape)
     dst = stencil(src).reshape(L.padded_shape)
-    # (a) pad strips the output tiles never write
-    dst = dst.at[:p].set(0.0)
+    # (a) pad strips the output tiles never write. Explicit-dtype zero:
+    # under jax_enable_x64 a weak 0.0 binds f64 and scattering it into a
+    # bf16-streaming dst is an unsafe cast (FutureWarning -> error).
+    z0 = jnp.zeros((), dst.dtype)
+    dst = dst.at[:p].set(z0)
     if zhi < zt:
-        dst = dst.at[zhi:].set(0.0)
-    dst = dst.at[:, :YOFF].set(0.0)
+        dst = dst.at[zhi:].set(z0)
+    dst = dst.at[:, :YOFF].set(z0)
     if yhi < yt:
-        dst = dst.at[:, yhi:].set(0.0)
+        dst = dst.at[:, yhi:].set(z0)
     # (b) Dirichlet identity faces
     dst = dst.at[p].set(s3[p]).at[p + nz - 1].set(s3[p + nz - 1])
     dst = dst.at[:, YOFF].set(s3[:, YOFF])

@@ -51,6 +51,65 @@ def _hashable(x) -> bool:
     return True
 
 
+class _HoistedJit:
+    """jit wrapper that hoists every closure constant (operator tables,
+    preconditioner hierarchies, dense coarse inverses, ...) into runtime
+    arguments via ``jax.closure_convert``. Without this, jit embeds the
+    captured arrays as HLO literals: the compile payload grows with the
+    mesh (a 4913-DoF f64 dense coarse inverse alone is 193 MB), which on
+    the tunneled dev chip means hundred-second uploads per compile and,
+    past the remote-compile body limit, a hard HTTP 413 (seen at an 854k
+    -DoF adaptive MG solve). Hoisted, the tables are device buffers
+    passed by reference and the payload is just the program."""
+
+    def __init__(self, fun):
+        self._fun = fun
+        self._by_avals = {}
+
+    @staticmethod
+    def _key(args):
+        return tuple(
+            (
+                jax.tree_util.tree_structure(a),
+                tuple(
+                    (x.shape, str(x.dtype))
+                    for x in jax.tree_util.tree_leaves(a)
+                ),
+            )
+            for a in args
+        )
+
+    def __call__(self, *args):
+        key = self._key(args)
+        ent = self._by_avals.get(key)
+        if ent is None:
+            from jax import tree_util
+
+            flat_args, in_tree = tree_util.tree_flatten(args)
+
+            def flat_fun(*flat):
+                return self._fun(*tree_util.tree_unflatten(in_tree, flat))
+
+            closed_jaxpr, out_shape = jax.make_jaxpr(
+                flat_fun, return_shape=True
+            )(*flat_args)
+            out_tree = tree_util.tree_structure(out_shape)
+            jaxpr = closed_jaxpr.jaxpr
+            consts = closed_jaxpr.consts
+
+            def run_hoisted(consts, *flat):
+                out_flat = jax.core.eval_jaxpr(jaxpr, consts, *flat)
+                return tree_util.tree_unflatten(out_tree, out_flat)
+
+            ent = (jax.jit(run_hoisted), consts, in_tree)
+            self._by_avals[key] = ent
+        jitted, consts, in_tree = ent
+        from jax import tree_util
+
+        flat_args, _ = tree_util.tree_flatten(args)
+        return jitted(consts, *flat_args)
+
+
 @functools.lru_cache(maxsize=32)
 def _compiled(fn, A, control, diag_c, dot_dtype, active, extra):
     def run(b, diag_v, x0, dot_weight):
@@ -66,7 +125,7 @@ def _compiled(fn, A, control, diag_c, dot_dtype, active, extra):
             **dict(extra),
         )
 
-    return jax.jit(run)
+    return _HoistedJit(run)
 
 
 def dispatch(

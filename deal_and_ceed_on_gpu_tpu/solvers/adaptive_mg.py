@@ -51,10 +51,14 @@ __all__ = ["coarsen_adaptive", "adaptive_hierarchy", "AdaptiveMultigrid"]
 
 
 def dense_coarse_inverse(op, coarse_max_dofs: int) -> np.ndarray:
-    """Materialize the (conforming base-brick) coarse operator by one
-    vmapped vmult over identity columns and invert it densely in f64.
-    Shared by the single-device and distributed adaptive MG; raises when
-    the base brick is too large for a dense coarse solve."""
+    """Dense f64 inverse of the (conforming base-brick) coarse operator.
+    Assembled ON THE HOST from per-cell oracle element matrices for the
+    known operator classes (the vmapped vmult-over-identity-columns
+    device materialization costs ~134 s through the tunneled dev chip at
+    4913 DoFs vs <1 s of numpy); unknown operator classes fall back to
+    the device path. Shared by the single-device and distributed adaptive
+    MG; raises when the base brick is too large for a dense coarse
+    solve."""
     cs = op.space
     if cs.n_dofs > coarse_max_dofs:
         raise ValueError(
@@ -62,9 +66,65 @@ def dense_coarse_inverse(op, coarse_max_dofs: int) -> np.ndarray:
             f"coarse_max_dofs={coarse_max_dofs}; refine from a smaller "
             "base brick"
         )
-    eye = jnp.eye(cs.n_dofs, dtype=cs.dtype)
-    A_c = np.asarray(jax.vmap(op.vmult)(eye), dtype=np.float64).T
+    A_c = _host_dense_constrained(op)
+    if A_c is None:
+        eye = jnp.eye(cs.n_dofs, dtype=cs.dtype)
+        A_c = np.asarray(jax.vmap(op.vmult)(eye), dtype=np.float64).T
     return np.linalg.inv(A_c)
+
+
+def _host_dense_constrained(op) -> np.ndarray | None:
+    """Dense CONSTRAINED matrix (``vmult`` semantics: zero constrained
+    columns, cell loop, identity on constrained rows) of a CONFORMING
+    adaptive operator, assembled with numpy element matrices. Returns
+    ``None`` for operator classes it does not know or non-conforming
+    spaces (hanging nodes) — callers then use the device path."""
+    from ..adaptive import (
+        AdaptiveHelmholtzOperator,
+        AdaptivePoissonOperator,
+        _cell_qpoints,
+    )
+    from ..mesh import BrickMesh
+    from ..utils.oracle import element_matrix
+
+    s = op.space
+    if s.hang_rows.size:
+        return None
+    helm = type(op) is AdaptiveHelmholtzOperator
+    if not (helm or type(op) is AdaptivePoissonOperator):
+        return None
+    n = s.n_dofs
+    base = BrickMesh((1, 1, 1))
+    K = np.zeros((n, n))
+    dof_map = s._dof_map_np
+    if helm:
+        # recover a(x_q) from the stored JxW-weighted table
+        aq = np.asarray(op._aq_jxw, np.float64) / np.asarray(
+            op._jxw, np.float64
+        )
+        Xq = _cell_qpoints(s)
+    for e in range(s.mesh.n_cells):
+        if helm:
+            a_e = aq[e].reshape(-1)
+            Ke = element_matrix(
+                base,
+                s.basis,
+                "helmholtz",
+                cell_qpoints=Xq[e].reshape(-1, 3),
+                coefficient_fn=lambda X, a_e=a_e: a_e,
+                h_cell=tuple(s.mesh.sizes[e]),
+            )
+        else:
+            Ke = element_matrix(
+                base, s.basis, "stiffness", h_cell=tuple(s.mesh.sizes[e])
+            )
+        idx = dof_map[e].reshape(-1)
+        K[np.ix_(idx, idx)] += Ke
+    m = s.constrained_mask_np
+    K[m, :] = 0.0
+    K[:, m] = 0.0
+    K[m, m] = 1.0
+    return K
 
 
 def coarsen_adaptive(mesh: AdaptiveMesh):
@@ -188,11 +248,17 @@ class AdaptiveMultigrid:
         coarse_max_dofs: int = 30000,
         fine_op: AdaptivePoissonOperator | None = None,
         make_op=None,
+        coarse_inv: np.ndarray | None = None,
     ):
         """``make_op(space) -> operator`` rediscretizes each level
         (default :class:`AdaptivePoissonOperator`; pass e.g.
         ``AdaptiveHelmholtzOperator`` for variable-coefficient levels —
-        the coefficient re-evaluates at every level's own qpoints)."""
+        the coefficient re-evaluates at every level's own qpoints).
+        ``coarse_inv``: a precomputed :func:`dense_coarse_inverse` of the
+        SAME base brick / operator class — the coarsest level is always
+        the conforming base, so AMR loops reuse one inverse across every
+        refinement step instead of re-inverting per step (expose via
+        ``mg.coarse_inv_np``)."""
         make_op = make_op or AdaptivePoissonOperator
         meshes, transfers = adaptive_hierarchy(space.mesh)
         self.spaces = [space] + [
@@ -234,11 +300,18 @@ class AdaptiveMultigrid:
             for op, dinv in zip(self.ops[:-1], self.dinv)
         ]
 
-        # dense coarse inverse (conforming base brick)
-        self._coarse_inv = jnp.asarray(
-            dense_coarse_inverse(self.ops[-1], coarse_max_dofs),
-            dtype=space.dtype,
+        # dense coarse inverse (conforming base brick); reusable across
+        # AMR steps via the coarse_inv kwarg (same base, same operator)
+        self.coarse_inv_np = (
+            dense_coarse_inverse(self.ops[-1], coarse_max_dofs)
+            if coarse_inv is None
+            else coarse_inv
         )
+        assert self.coarse_inv_np.shape == (cs.n_dofs, cs.n_dofs), (
+            self.coarse_inv_np.shape,
+            cs.n_dofs,
+        )
+        self._coarse_inv = jnp.asarray(self.coarse_inv_np, dtype=space.dtype)
 
     @staticmethod
     def _level_dinv(op: AdaptivePoissonOperator) -> jnp.ndarray:

@@ -67,17 +67,21 @@ def solve_cg_ir(
     key = (id(op64), inner_control, callable(diag32))
     fns = cache.get(key)
     if fns is None:
+        # eager entry-point calls: the solver dispatch layer jit-caches
+        # the whole inner solve with closure constants HOISTED to runtime
+        # arguments (solvers/_dispatch._HoistedJit) — wrapping in a local
+        # jax.jit here would re-embed the operator/preconditioner tables
+        # (e.g. a dense MG coarse inverse) as HLO literals in the compile
+        # payload
         if callable(diag32):
             from .cg import solve_cg
 
-            inner = jax.jit(
-                lambda r32: solve_cg(op32.vmult, r32, inner_control, diag=diag32)
+            inner = lambda r32: solve_cg(  # noqa: E731
+                op32.vmult, r32, inner_control, diag=diag32
             )
         else:
-            inner = jax.jit(
-                lambda r32: solve_cg_merged(
-                    op32.vmult, r32, inner_control, diag=diag32
-                )
+            inner = lambda r32: solve_cg_merged(  # noqa: E731
+                op32.vmult, r32, inner_control, diag=diag32
             )
         # one fused jitted update: true f64 residual, correction add, norm
         @jax.jit

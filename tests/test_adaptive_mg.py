@@ -359,3 +359,28 @@ def test_mgcg_high_order(p):
     assert int(info["n_iterations"]) <= 20
     r = float(jnp.linalg.norm(b - op.vmult(x)))
     assert r <= 1e-10 * float(jnp.linalg.norm(b)) * 1e3  # true residual sane
+
+
+def test_host_dense_coarse_matches_device():
+    """dense_coarse_inverse's host assembly path must reproduce the
+    vmapped device materialization exactly (same constrained vmult
+    semantics) for both operator classes."""
+    from deal_and_ceed_on_gpu_tpu.solvers.adaptive_mg import (
+        _host_dense_constrained,
+    )
+
+    import jax
+
+    from deal_and_ceed_on_gpu_tpu.adaptive import AdaptiveHelmholtzOperator
+
+    amesh = AdaptiveMesh.from_brick(BrickMesh((2, 2, 2)))
+    space = AdaptiveSpace(amesh, 2)
+    for op in (
+        AdaptivePoissonOperator(space),
+        AdaptiveHelmholtzOperator(space),
+    ):
+        K = _host_dense_constrained(op)
+        assert K is not None
+        eye = jnp.eye(space.n_dofs, dtype=space.dtype)
+        A = np.asarray(jax.vmap(op.vmult)(eye)).T
+        assert np.abs(K - A).max() < 1e-11 * max(1.0, np.abs(A).max())

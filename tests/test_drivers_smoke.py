@@ -104,3 +104,38 @@ def test_amr_driver_cli_smoke(tmp_path, monkeypatch, capsys):
     its = [int(line.split()[3]) for line in text.splitlines()
            if line.strip() and line.split()[0].isdigit()]
     assert its and max(its) < 800
+
+
+def test_bp5_auto_backend_resolves_by_size():
+    """backend='auto' encodes the measured solver-selection guidance:
+    small uniform GLL meshes -> separable; Gauss rule -> pallas_general
+    (interpret on CPU via pallas_opts)."""
+    cfg = bp5.BP5Config(
+        degree=2, n_iterations=8, n_repetitions=1, dtype="float64",
+        backend="auto", modes=("pcg-merged",),
+    )
+    res = bp5.run_cycle(10, cfg)  # 35k DoFs -> separable
+    assert res["pcg-merged"] > 0 and np.isfinite(res["l2_norm"])
+    cfg = bp5.BP5Config(
+        degree=2, n_iterations=8, n_repetitions=1, dtype="float64",
+        backend="auto", rule="gauss", modes=("pcg-merged",),
+        pallas_opts=dict(interpret=True),
+    )
+    res = bp5.run_cycle(8, cfg)
+    assert res["pcg-merged"] > 0 and np.isfinite(res["l2_norm"])
+
+
+def test_bp5_f64_pallas_falls_back_to_separable():
+    """--dtype float64 --backend pallas (no interpret): the f64 modes run
+    the separable path (Mosaic kernels are f32/bf16-only). Passing on the
+    CPU test platform proves the fallback fired — a real (non-interpret)
+    pallas build here raises 'Only interpret mode is supported on CPU'.
+    The pcg-ir mode keeps its f32 pallas inner operator (TPU-verified via
+    the bp5 driver; its CPU smoke is the interpret-mode pcg-ir test)."""
+    cfg = bp5.BP5Config(
+        degree=2, n_iterations=12, n_repetitions=1, dtype="float64",
+        backend="pallas", modes=("pcg-merged", "vmult"),
+    )
+    res = bp5.run_cycle(8, cfg)
+    assert res["pcg-merged"] > 0 and res["vmult"] > 0
+    assert np.isfinite(res["l2_norm"])
