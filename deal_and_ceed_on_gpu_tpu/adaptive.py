@@ -633,9 +633,20 @@ def estimate_gradient_recovery(
 
 def mark_doerfler(eta: np.ndarray, theta: float = 0.5) -> np.ndarray:
     """Doerfler (bulk-chasing) marking: the smallest set of cells whose
-    squared indicators sum to ``theta`` of the total."""
+    squared indicators sum to ``theta`` of the total.
+
+    The sort key is quantized to 1e-12 relative with ties broken by cell
+    index: symmetric meshes produce exactly-tied indicators, and a raw
+    ``argsort`` makes the marked SET depend on last-bit FP noise in the
+    solution (e.g. the single-device vs SPMD solvers agree to ~1e-17,
+    which is enough to reorder exact ties and refine different — if
+    statistically equivalent — cells, breaking run-to-run and
+    single-vs-distributed reproducibility)."""
     eta2 = np.asarray(eta, dtype=np.float64) ** 2
-    order = np.argsort(eta2)[::-1]
+    scale = float(eta2.max())
+    q = np.round(eta2 * (1e12 / scale)) if scale > 0.0 else eta2
+    # descending by quantized indicator, ascending cell index on ties
+    order = np.lexsort((np.arange(q.size), -q))
     csum = np.cumsum(eta2[order])
     k = int(np.searchsorted(csum, theta * csum[-1])) + 1
     return order[:k]
