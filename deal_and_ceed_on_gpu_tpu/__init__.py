@@ -41,6 +41,7 @@ from .solvers.control import (
 )
 from .solvers.cg import solve_cg
 from .solvers.cg_merged import solve_cg_merged
+from .solvers.cg_fused import solve_cg_fused
 
 __version__ = "0.1.0"
 
@@ -61,6 +62,7 @@ __all__ = [
     "NoConvergence",
     "solve_cg",
     "solve_cg_merged",
+    "solve_cg_fused",
     "gauss_lobatto_points",
     "gauss_points",
 ]

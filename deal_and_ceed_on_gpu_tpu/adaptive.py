@@ -635,18 +635,34 @@ def mark_doerfler(eta: np.ndarray, theta: float = 0.5) -> np.ndarray:
     """Doerfler (bulk-chasing) marking: the smallest set of cells whose
     squared indicators sum to ``theta`` of the total.
 
-    The sort key is quantized to 1e-12 relative with ties broken by cell
-    index: symmetric meshes produce exactly-tied indicators, and a raw
-    ``argsort`` makes the marked SET depend on last-bit FP noise in the
-    solution (e.g. the single-device vs SPMD solvers agree to ~1e-17,
+    Determinism: symmetric meshes produce exactly-tied indicators, and a
+    raw ``argsort`` makes the marked SET depend on last-bit FP noise in
+    the solution (e.g. the single-device vs SPMD solvers agree to ~1e-17,
     which is enough to reorder exact ties and refine different — if
     statistically equivalent — cells, breaking run-to-run and
-    single-vs-distributed reproducibility)."""
+    single-vs-distributed reproducibility). The fix sorts by EXACT value
+    and then merges adjacent sorted values within ``1e-12 * max`` into tie
+    classes reordered by cell index — grouping is boundary-free, so a
+    value sitting within last-bit noise of a quantum edge cannot flip
+    classes the way round-to-bucket quantization could (ADVICE r3).
+
+    Non-finite indicators (diverged solves) sort FIRST and are marked
+    alone: the diverged cell refines, nothing else cascades off the
+    meaningless ``inf`` cumulative sum."""
     eta2 = np.asarray(eta, dtype=np.float64) ** 2
-    scale = float(eta2.max())
-    q = np.round(eta2 * (1e12 / scale)) if scale > 0.0 else eta2
-    # descending by quantized indicator, ascending cell index on ties
-    order = np.lexsort((np.arange(q.size), -q))
+    eta2 = np.where(np.isnan(eta2), np.inf, eta2)
+    finite = eta2[np.isfinite(eta2)]
+    scale = float(finite.max()) if finite.size else 0.0
+    # exact descending sort, ascending cell index on exact ties (inf
+    # entries land first: -inf is the smallest ascending key)
+    order = np.lexsort((np.arange(eta2.size), -eta2))
+    v = eta2[order]
+    if scale > 0.0 and np.isfinite(v[0]):
+        new_group = np.empty(v.size, dtype=bool)
+        new_group[0] = True
+        new_group[1:] = (v[:-1] - v[1:]) > 1e-12 * scale
+        gid = np.cumsum(new_group) - 1
+        order = order[np.lexsort((order, gid))]
     csum = np.cumsum(eta2[order])
     k = int(np.searchsorted(csum, theta * csum[-1])) + 1
     return order[:k]

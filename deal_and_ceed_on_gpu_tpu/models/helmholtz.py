@@ -195,6 +195,8 @@ class HelmholtzOperator(MatrixFreeOperator):
             L = self._stencil.layout
             L.bz, L.by, L.bx = L.bz * s, L.by * s, L.bx * s
             self._stencil._a = self._stencil._a * s
+            L.bz_np, L.by_np, L.bx_np = L.bz_np * s, L.by_np * s, L.bx_np * s
+            self._fused_cg_step = None
             return
         if self.backend in ("structured", "gather"):
             self._coef_val = self._coef_val * s

@@ -247,6 +247,28 @@ class MatrixFreeOperator:
         d = self.compute_diagonal()
         return 1.0 / d
 
+    # ------------------------ fused-CG kernel ------------------------- #
+    @property
+    def fused_cg_step(self):
+        """The fully-fused CG iteration kernel for this operator
+        (``ops/pallas_cg.py``) — pallas (stencil) backend only. Cached so
+        repeated ``solve_cg_fused`` calls hit the same jit executable
+        through the solver dispatch cache (which keys on this object)."""
+        if getattr(self, "_stencil", None) is None:
+            raise NotImplementedError(
+                f"{type(self).__name__} ({self.backend}): the fused CG "
+                "kernel requires the pallas stencil backend"
+            )
+        step = getattr(self, "_fused_cg_step", None)
+        if step is None:
+            from ..ops.pallas_cg import CGFusedStep
+
+            step = CGFusedStep(
+                self._stencil, interpret=getattr(self._stencil, "interpret", False)
+            )
+            self._fused_cg_step = step
+        return step
+
     # --------------------- distributed-table hooks -------------------- #
     def shard_table_names(self) -> tuple[str, ...]:
         """Names of coefficient-table attributes that depend on the

@@ -125,6 +125,10 @@ class PoissonOperator(MatrixFreeOperator):
             # scales the whole apply by s (identity faces unaffected)
             L = self._stencil.layout
             L.bz, L.by, L.bx = L.bz * s, L.by * s, L.bx * s
+            # host band copies feed the fused-CG folded tables; rebuild
+            # any already-built step from the rescaled copies
+            L.bz_np, L.by_np, L.bx_np = L.bz_np * s, L.by_np * s, L.bx_np * s
+            self._fused_cg_step = None
             return
         if self.backend in ("structured", "gather"):
             if self.coefficient == "merged_const":

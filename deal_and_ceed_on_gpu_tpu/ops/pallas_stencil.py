@@ -285,6 +285,11 @@ class StencilLayout:
         bx_b, sx = axis(mx, mx_p, nx, 0, nxp, coef["x"], True, True)
         by_b, sy = axis(my, my_p, ny, YOFF, yt, coef["y"], y_lo, y_hi)
         bz_b, sz = axis(mz, mz_p, nz, p, zt, coef["z"], z_lo, z_hi)
+        # raw per-axis factors (host copies) for kernels that fold the
+        # scaling into the band tables (ops/pallas_cg.py fused CG)
+        self.sx_np, self.sy_np, self.sz_np = sx, sy, sz
+        self.bx_np, self.by_np, self.bz_np = bx_b, by_b, bz_b
+        self.faces = faces
 
         dt = self.dtype
         # Band-table layouts (see _kernel): z indexed by padded row

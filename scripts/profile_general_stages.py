@@ -19,6 +19,7 @@ from deal_and_ceed_on_gpu_tpu.utils import enable_compilation_cache
 
 enable_compilation_cache()
 N_AP, REPS = 50, 3
+STAGE_MS = []
 
 
 def timeit(fn, *args):
@@ -51,15 +52,21 @@ def main():
     p1 = p + 1
     mx, my, mz = m.n_elements
 
+    # each iteration's input must DEPEND on the previous iteration's
+    # output, or XLA's while-loop invariant code motion hoists the whole
+    # gather out of the loop and the ms/apply is a fiction (ADVICE r3).
+    # A 1-element in-place donate-able update on the carried vector is the
+    # cheapest true dependence (no extra full pass).
     @jax.jit
     def gather_chain(u):
-        def body(i, acc):
+        def body(i, u):
             ul = lg.gather_structured(u.reshape(sp.grid_shape), m.n_elements, p)
             ul = ul.transpose(0, 2, 4, 1, 3, 5).reshape(E, N)
-            return acc + ul[0, 0]
-        return jax.lax.fori_loop(0, N_AP, body, 0.0)
+            return u.at[0].add(ul[0, 0] * 1e-30)
+        return jax.lax.fori_loop(0, N_AP, body, u)
 
     t, _ = timeit(gather_chain, u0)
+    STAGE_MS.append(t / N_AP * 1e3)
     print(f"gather+transpose: {t / N_AP * 1e3:.3f} ms/apply")
 
     ul0 = lg.gather_structured(u0.reshape(sp.grid_shape), m.n_elements, p)
@@ -77,18 +84,21 @@ def main():
         return jax.lax.fori_loop(0, N_AP, body, ul)
 
     t, wl0 = timeit(kernel_chain, ul0 / jnp.linalg.norm(ul0), g._tabs, g._streamed)
+    STAGE_MS.append(t / N_AP * 1e3)
     print(f"kernel only:      {t / N_AP * 1e3:.3f} ms/apply")
 
     wl1 = ul0
 
     @jax.jit
     def scatter_chain(wl):
-        def body(i, acc):
+        def body(i, wl):
             w6 = wl.reshape(mz, my, mx, p1, p1, p1).transpose(0, 3, 1, 4, 2, 5)
-            return acc + lg.scatter_structured(w6, p).reshape(-1)[0]
-        return jax.lax.fori_loop(0, N_AP, body, 0.0)
+            out = lg.scatter_structured(w6, p).reshape(-1)
+            return wl.at[0, 0].add(out[0] * 1e-30)  # true data dependence
+        return jax.lax.fori_loop(0, N_AP, body, wl)
 
     t, _ = timeit(scatter_chain, wl1)
+    STAGE_MS.append(t / N_AP * 1e3)
     print(f"scatter+transpose: {t / N_AP * 1e3:.3f} ms/apply")
 
     # full apply for reference
@@ -101,8 +111,15 @@ def main():
         return jax.lax.fori_loop(0, N_AP, lambda i, w: vm(w), u)
 
     t, _ = timeit(full_chain, u0 / jnp.linalg.norm(u0))
-    print(f"full apply:       {t / N_AP * 1e3:.3f} ms/apply "
+    full_ms = t / N_AP * 1e3
+    print(f"full apply:       {full_ms:.3f} ms/apply "
           f"-> {n * 1e-9 / (t / N_AP):.3f} GDoF/s")
+    stage_sum = sum(STAGE_MS)
+    print(f"stage sum:        {stage_sum:.3f} ms/apply "
+          f"({stage_sum / full_ms * 100:.0f}% of full)")
+    if not 0.7 <= stage_sum / full_ms <= 1.3:
+        print("WARNING: stage sum diverges >30% from the measured full "
+              "apply — a stage timing is being hoisted or double-counted")
 
 
 if __name__ == "__main__":
