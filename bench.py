@@ -7,6 +7,13 @@ untuned-pallas and the jnp separable backend so a Mosaic compile flake
 (remote_compile HTTP 500, seen occasionally on the tunneled dev chip)
 can never zero out the benchmark artifact.
 
+Timing is HONEST against two dev-chip artifacts (r4):
+- ``block_until_ready`` through the axon tunnel does not reliably block,
+  so every timed computation ends in a scalar that is fetched to host
+  (``float(...)``) — fetching forces execution;
+- each jitted call pays a ~25-30 ms dispatch+fetch round-trip through the
+  tunnel, measured once on a trivial kernel and subtracted.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Headline = BP5 vmult throughput (GDoF/s/chip) at p=5, the reference's hot
 kernel (``apply_kernel_shmem``, README.md:72). vs_baseline is measured
@@ -27,56 +34,90 @@ from deal_and_ceed_on_gpu_tpu.models import PoissonOperator
 
 CYCLE = 33  # ~12.5M DoFs at p=5 (bp5 sweep logic)
 DEGREE = 5
-# 300 applies per chain: the tunneled dev chip adds ~30 ms dispatch
-# latency per jitted call, which eats ~33% of a 50-apply chain at
-# 10 GDoF/s; 300 applies (~370 ms of device work) amortize it to ~8%
-N_APPLIES = 300
-N_REPS = 5
+N_APPLIES = 400  # amortizes the ~25-30 ms tunnel dispatch to <0.1 ms/apply
+N_REPS = 4
+N_ITERS = 500  # merged-CG iterations per timed solve
 DTYPE = "float32"
 BASELINE_GDOFS = 1.0  # BASELINE.json north-star: >= 1 GDoF/s/chip
 
+_DISPATCH = None
+
+
+def dispatch_latency():
+    """Measured once: the tunnel's dispatch+fetch round-trip for a trivial
+    kernel, subtracted from every timing below."""
+    global _DISPATCH
+    if _DISPATCH is None:
+        @jax.jit
+        def trivial(x):
+            return x[0] + 1.0
+
+        z = jnp.zeros((8,), jnp.float32)
+        float(trivial(z))
+        _DISPATCH = min(
+            (lambda t0: (float(trivial(z)), time.perf_counter() - t0)[1])(
+                time.perf_counter()
+            )
+            for _ in range(8)
+        )
+    return _DISPATCH
+
+
+def timeit_scalar(fn, *args):
+    """Best-of-N_REPS wall time of ``fn`` (must return a scalar), forced
+    by the host fetch, minus the dispatch round-trip."""
+    float(fn(*args))  # compile + warmup
+    best = np.inf
+    for _ in range(N_REPS):
+        t0 = time.perf_counter()
+        float(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best - dispatch_latency()
+
 
 def measure(space, backend, pallas_opts=None):
-    """Best-of-N_REPS chained-apply throughput (DoF/s) for one backend,
-    plus the pcg-merged solver throughput (DoFs * iters / s) on the same
-    operator — a fixed-iteration merged-CG solve so solver-path
-    regressions (not just raw vmult) are visible to the driver bench."""
+    """Chained-apply vmult throughput (DoF/s) for one backend, plus the
+    pcg-merged solver throughput (DoFs * iters / s) on the same operator —
+    a fixed-iteration merged-CG solve so solver-path regressions (not just
+    raw vmult) are visible to the driver bench."""
     n = space.n_dofs
     rng = np.random.default_rng(0)
     u0 = jnp.asarray(rng.standard_normal(n), dtype=space.dtype)
     u0 = u0 / jnp.linalg.norm(u0)
+    # zero Dirichlet rows, as every assembled rhs has: required by the
+    # donated solve path and matches the reference's solve inputs
+    b0 = space.zero_constrained_values(u0)
     dot_dtype = None
+    solver_kw = {}
     if backend == "pallas":
         op = PoissonOperator(space, backend="pallas", pallas_opts=pallas_opts)
         u = op.layout.pad_flat(u0)
+        b = op.layout.pad_flat(b0)
         vm = op.vmult_padded
-        # NOT active_spec(): sliced updates lose to XLA's DUS copies on
-        # the dev chip (scripts/exp_active_cg.py)
-        active = None
+        # donated-buffer bare-kernel applies inside the solve: no
+        # strip/face epilogue, XLA reuses the h buffer (measured 7.2 ->
+        # 11.5 GDoF/s at cycle 33 bf16)
+        solver_kw = dict(A_donate=op.vmult_free)
         if op.layout.stream_dtype != op.layout.dtype:
             # bf16-streaming vectors: dots accumulate at the compute dtype
             dot_dtype = space.dtype
     else:
         op = PoissonOperator(space, backend=backend)
-        u, vm = u0, op.vmult
-        active = None
+        u, b, vm = u0, b0, op.vmult
 
     # ---- pcg-merged throughput (before fold_scale rescales the op) ----
     from deal_and_ceed_on_gpu_tpu import IterationNumberControl, solve_cg_merged
 
-    n_it = 150  # long enough that the ~30 ms dispatch floor is <7%
-    control = IterationNumberControl(n_it, 0.0)
-    solver = jax.jit(
-        lambda b: solve_cg_merged(
-            vm, b, control, active=active, dot_dtype=dot_dtype
-        )[0]
-    )
-    jax.block_until_ready(solver(u))
-    best_cg = 0.0
-    for _ in range(N_REPS):
-        t0 = time.perf_counter()
-        jax.block_until_ready(solver(u))
-        best_cg = max(best_cg, n * n_it / (time.perf_counter() - t0))
+    control = IterationNumberControl(N_ITERS, 0.0)
+
+    @jax.jit
+    def solve(b):
+        x, info = solve_cg_merged(
+            vm, b, control, dot_dtype=dot_dtype, **solver_kw
+        )
+        return jnp.sum(x.astype(space.dtype)) + info["res_norm"]
+
+    best_cg = n * N_ITERS / timeit_scalar(solve, b)
 
     # keep the chained applies bounded by folding the 1/lambda_est
     # normalization INTO the operator tables (fold_scale) — each chain
@@ -90,14 +131,10 @@ def measure(space, backend, pallas_opts=None):
 
     @jax.jit
     def chain(u):
-        return jax.lax.fori_loop(0, N_APPLIES, lambda i, v: vmult(v), u)
+        r = jax.lax.fori_loop(0, N_APPLIES, lambda i, v: vmult(v), u)
+        return jnp.sum(r.astype(space.dtype))
 
-    jax.block_until_ready(chain(u))  # compile + warmup
-    best = 0.0
-    for _ in range(N_REPS):
-        t0 = time.perf_counter()
-        jax.block_until_ready(chain(u))
-        best = max(best, n * N_APPLIES / (time.perf_counter() - t0))
+    best = n * N_APPLIES / timeit_scalar(chain, u)
     return best, best_cg
 
 

@@ -269,6 +269,16 @@ class MatrixFreeOperator:
             self._fused_cg_step = step
         return step
 
+    def vmult_free(self, src: jnp.ndarray, out_donate: jnp.ndarray):
+        """Donated-buffer bare-kernel apply (pallas backend only) — the
+        solve-mode fast path; see ``build_stencil_operator.vmult_free``."""
+        if getattr(self, "_stencil", None) is None:
+            raise NotImplementedError(
+                f"{type(self).__name__} ({self.backend}): vmult_free "
+                "requires the pallas stencil backend"
+            )
+        return self._stencil.vmult_free(src, out_donate)
+
     # --------------------- distributed-table hooks -------------------- #
     def shard_table_names(self) -> tuple[str, ...]:
         """Names of coefficient-table attributes that depend on the

@@ -427,9 +427,11 @@ def _kernel(
     nzb: int,
     has_value: bool = False,
     mixed: bool = False,
+    donated: bool = False,
 ):
     # ``rest``: [a_ref (tile-blocked value-coefficient operand, Helmholtz
-    # only)], out_hbm, then the scratch refs. ``mixed``: u/out stream at a
+    # only)], [donated output buffer (aliased; written via out_hbm)],
+    # out_hbm, then the scratch refs. ``mixed``: u/out stream at a
     # narrower dtype than the f32 window/tables (bf16 streaming mode) —
     # the initial window fill then lands in the narrow ginc/fill2 staging
     # buffers and upconverts on the scale_rows store.
@@ -437,6 +439,8 @@ def _kernel(
         a_ref, *rest = rest
     else:
         a_ref = None
+    if donated:
+        _, *rest = rest  # the donated input ref; written through out_hbm
     if mixed:
         out_hbm, win, ginc, obuf, fill2, fill_sem, inc_sem, out_sem = rest
     else:
@@ -582,8 +586,13 @@ def _kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("layout", "interpret"))
-def _stencil_call(u, bz, by, bx, sz, syx, a_pad=None, *, layout: StencilLayout,
-                  interpret):
+def _stencil_call(u, bz, by, bx, sz, syx, a_pad=None, out_donate=None, *,
+                  layout: StencilLayout, interpret):
+    """One fused stencil apply. ``out_donate``: optional padded-flat buffer
+    donated as the output (``input_output_aliases``) — the kernel only
+    writes the grid-covered tiles, so a donated buffer whose dead strips
+    are already zero keeps them zero with NO epilogue traffic (the
+    solve-mode fast path, ``vmult_free``)."""
     L = layout
     zt, yt, nxp = L.padded_shape
     WZ, WY = L.BZ + 2 * L.p, L.BY + 2 * YOFF
@@ -601,6 +610,7 @@ def _stencil_call(u, bz, by, bx, sz, syx, a_pad=None, *, layout: StencilLayout,
         nzb=L.nzb,
         has_value=has_value,
         mixed=mixed,
+        donated=out_donate is not None,
     )
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] + [
         pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -613,6 +623,11 @@ def _stencil_call(u, bz, by, bx, sz, syx, a_pad=None, *, layout: StencilLayout,
             pl.BlockSpec((L.BZ, L.BY, nxp), lambda j, k: (k, j, 0))
         )
         operands.append(a_pad)
+    aliases = {}
+    if out_donate is not None:
+        aliases = {len(operands): 0}
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        operands.append(out_donate.reshape(L.padded_shape))
     scratch = [
         pltpu.VMEM((WZ, WY, nxp), cd),
         pltpu.VMEM((2, L.BZ, WY, nxp), sd),
@@ -645,6 +660,7 @@ def _stencil_call(u, bz, by, bx, sz, syx, a_pad=None, *, layout: StencilLayout,
             out_shape=jax.ShapeDtypeStruct((zt, yt, nxp), sd),
             scratch_shapes=scratch,
             interpret=interpret,
+            input_output_aliases=aliases,
             compiler_params=pltpu.CompilerParams(
                 has_side_effects=True,
                 vmem_limit_bytes=L.vmem_limit_bytes,
@@ -824,4 +840,20 @@ class build_stencil_operator:
             self._a,
             layout=L,
             interpret=self.interpret,
+        )
+
+    def vmult_free(self, u_padded_flat, out_donate):
+        """Bare-kernel apply ``M A M u`` with a DONATED output buffer: the
+        kernel writes only the grid-covered tiles, so a donated buffer
+        whose dead strips are zero keeps them zero with NO epilogue
+        traffic. Solve-mode fast path: when the rhs is zero on Dirichlet
+        rows (as every assembled rhs is), all CG vectors stay zero on the
+        constrained set, the identity rows are inert, and
+        ``constrained_vmult_padded``'s strip/face epilogue (~25% of the
+        apply at cycle 33) is unnecessary. See solve_cg_merged's
+        ``A_donate``."""
+        L = self.layout
+        return _stencil_call(
+            u_padded_flat, L.bz, L.by, L.bx, L.sz, L.syx, self._a,
+            out_donate, layout=L, interpret=self.interpret,
         )

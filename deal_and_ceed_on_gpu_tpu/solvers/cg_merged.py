@@ -67,6 +67,8 @@ def solve_cg_merged(
     dot_weight: Optional[jnp.ndarray] = None,
     psum_axis: Optional[str] = None,
     active=None,
+    A_donate=None,
+    dots_active=None,
 ):
     """Solve A x = b. Returns ``(x, info)``; see ``solve_cg`` for the diag
     convention, the distributed ``dot_weight``/``psum_axis`` knobs, and the
@@ -84,7 +86,21 @@ def solve_cg_merged(
     v5e dev chip XLA materializes a copy per sliced dynamic-update-slice
     in the loop body, which more than eats the traffic saving
     (scripts/exp_active_cg.py: 4.09 full / 2.66 sliced GDoF/s at cycle
-    33) — measure before enabling."""
+    33) — measure before enabling.
+
+    ``dots_active``: like ``active`` but applied ONLY to the seven-dot
+    reduction — pure gathers, no dynamic-update-slice copies, so it
+    actually pays on the dev chip (the dots pass shrinks by the padding
+    ratio). Same zero-padding requirements.
+
+    ``A_donate``: optional ``(d, out_buf) -> h`` variant of the operator
+    taking a DONATED output buffer (``vmult_free``); the loop then
+    carries a recycled h buffer and the operator apply needs no
+    strip/face epilogue. REQUIRES b (and x0) zero on the constrained set
+    — then every CG vector stays zero there and the identity rows are
+    inert (every assembled rhs satisfies this; the reference's drivers
+    interpolate zero boundary values the same way,
+    ``bp5/step-64.cu:351-358``)."""
     return dispatch(
         _solve_cg_merged,
         A,
@@ -97,6 +113,8 @@ def solve_cg_merged(
         psum_axis,
         active,
         deferred_x_update=deferred_x_update,
+        A_donate=A_donate,
+        dots_active=dots_active,
     )
 
 
@@ -111,6 +129,8 @@ def _solve_cg_merged(
     psum_axis=None,
     active=None,
     deferred_x_update=False,
+    A_donate=None,
+    dots_active=None,
 ):
     dt = b.dtype
     dd = dot_dtype or dt
@@ -130,6 +150,15 @@ def _solve_cg_merged(
         def wr(v, new):
             return v.reshape(shape3).at[sl].set(new).reshape(v.shape)
 
+    if dots_active is None:
+        rds = rd
+    else:
+        assert active is None, "active and dots_active are exclusive"
+        dshape3, dsl = dots_active
+
+        def rds(v):
+            return v.reshape(dshape3)[dsl]
+
     def _reduce(*scalars):
         if psum_axis:
             return jax.lax.psum(jnp.stack(scalars), psum_axis)
@@ -148,14 +177,16 @@ def _solve_cg_merged(
         x = x0
         g = A(x0) - b
 
+    diag_s = 1.0 if diag is None else rds(diag)
+
     def dots7(da, ga, ha):
         """One fused pass over the ACTIVE views: the update_b seven-way
         reduction. Elementwise products share the four input reads; XLA
         fuses the sibling sums, and under sharding the stacked psum is ONE
         7-scalar all-reduce — the reference's single
         ``MPI_Allreduce(…, 7, …)``."""
-        w = 1.0 if dot_weight is None else rd(dot_weight)
-        dg = (diag_a * ha).astype(dd)
+        w = 1.0 if dot_weight is None else rds(dot_weight)
+        dg = (diag_s * ha).astype(dd)
         gd = (ga * w).astype(dd)
         hd = ha.astype(dd)
         s = _reduce(
@@ -165,17 +196,17 @@ def _solve_cg_merged(
             jnp.sum(gd * ga.astype(dd)),        # 3: g.g     (r.r)
             jnp.sum(gd * dg),                   # 4: g.Mh    (r.diag v)
             jnp.sum((ha * w).astype(dd) * dg),  # 5: h.Mh    (v.diag v)
-            jnp.sum(gd * (diag_a * ga).astype(dd)),  # 6: g.Mg (r.diag r)
+            jnp.sum(gd * (diag_s * ga).astype(dd)),  # 6: g.Mg (r.diag r)
         )
         return s[0], s[1], s[2], s[3], s[4], s[5], s[6]
 
-    w0 = 1.0 if dot_weight is None else rd(dot_weight)
-    ga0 = rd(g)
+    w0 = 1.0 if dot_weight is None else rds(dot_weight)
+    ga0 = rds(g)
     res0_sq = jnp.sum((ga0 * w0).astype(dd) * ga0.astype(dd))
     if psum_axis:
         res0_sq = jax.lax.psum(res0_sq, psum_axis)
     res0 = jnp.sqrt(res0_sq)
-    d = wr(jnp.zeros_like(b), -diag_a * ga0)  # update_a0 (bp5/solver.h:48-72)
+    d = wr(jnp.zeros_like(b), -diag_a * rd(g))  # update_a0 (bp5/solver.h:48-72)
 
     zero = jnp.zeros((), dtype=dd)
 
@@ -187,9 +218,12 @@ def _solve_cg_merged(
         alpha_prev, beta_prev = state["alpha"], state["beta"]
         it = state["it"] + 1
 
-        h = A(d)
+        h = A(d) if A_donate is None else A_donate(d, state["hbuf"])
         da, ga, ha = rd(d), rd(g), rd(h)
-        s0, s1, s2, s3, s4, s5, s6 = dots7(da, ga, ha)
+        if dots_active is None:
+            s0, s1, s2, s3, s4, s5, s6 = dots7(da, ga, ha)
+        else:
+            s0, s1, s2, s3, s4, s5, s6 = dots7(rds(d), rds(g), rds(h))
         # safe divides: at exact convergence (g == 0) the reference would
         # trip ExcDivideByZero (bp5/solver.h:501); here alpha/beta collapse
         # to 0, the residual recurrence yields |g| = 0 and the loop exits.
@@ -225,7 +259,7 @@ def _solve_cg_merged(
         g_new = wr(g, ga_new)
         d_new = wr(d, beta.astype(dt) * da - diag_a * ga_new)
 
-        return {
+        out = {
             "x": x,
             "g": g_new,
             "d": d_new,
@@ -234,6 +268,10 @@ def _solve_cg_merged(
             "it": it,
             "res": res,
         }
+        if A_donate is not None:
+            # h is dead after the update: recycle it as the next donation
+            out["hbuf"] = h
+        return out
 
     state = {
         "x": x,
@@ -244,6 +282,8 @@ def _solve_cg_merged(
         "it": jnp.int32(0),
         "res": res0,
     }
+    if A_donate is not None:
+        state["hbuf"] = jnp.zeros_like(b)
     state = jax.lax.while_loop(cond, body, state)
     return state["x"], {
         "n_iterations": state["it"],

@@ -123,6 +123,30 @@ def test_solver_bf16_stream():
     assert err < 0.05
 
 
+def test_merged_donated_vmult_matches():
+    """solve_cg_merged with A_donate (bare kernel, donated h buffer, no
+    strip/face epilogue) matches the constrained-vmult solve when b is
+    zero on the Dirichlet set — the solve-mode fast path bench.py uses."""
+    mesh = BrickMesh((6, 5, 7))
+    space = FESpace.create(mesh, 3, rule="gauss_lobatto", dtype=jnp.float32)
+    op = PoissonOperator(space, backend="pallas", pallas_opts=OPTS)
+    L = op.layout
+    rng = np.random.default_rng(0)
+    b0 = space.zero_constrained_values(
+        jnp.asarray(rng.standard_normal(space.n_dofs), jnp.float32)
+    )
+    b = L.pad_flat(b0)
+    ctrl = IterationNumberControl(30, 0.0)
+    x_ref, ir = solve_cg_merged(op.vmult_padded, b, ctrl)
+    x_d, idn = solve_cg_merged(op.vmult_padded, b, ctrl, A_donate=op.vmult_free)
+    np.testing.assert_allclose(
+        float(idn["res_norm"]), float(ir["res_norm"]), rtol=1e-5
+    )
+    xr, xd = L.unpad_flat(x_ref), L.unpad_flat(x_d)
+    err = float(jnp.linalg.norm(xd - xr)) / float(jnp.linalg.norm(xr))
+    assert err < 1e-5
+
+
 def test_fold_scale_rebuilds_step():
     op, _ = _setup(shape=(4, 4, 4), p=2)
     space = op.space
