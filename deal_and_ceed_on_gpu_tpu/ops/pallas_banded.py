@@ -1,0 +1,522 @@
+"""Fused Pallas kernel for the GENERAL-quadrature separable operator:
+banded Kronecker-factor sweeps on the z-streaming padded layout.
+
+The missing fast path VERDICT r3 item 2 asks for: BP1-BP4 (Gauss rules,
+q = p+1 / p+2) on uniform and graded brick meshes ran through the
+per-element dense-table kernel (``ops/pallas_general.py``), whose HBM-side
+local<->global transposes cost ~7x the kernel itself (measured BP3 p=5
+q=7 at 4.17M DoFs: 2.86 ms apply, 0.135 ms kernel, ~2.2 ms transposes —
+1.46 GDoF/s). This kernel removes the local layout entirely.
+
+**TPU-first observation.** On a tensor-product brick, the assembled
+constrained operator for any of the Gauss-rule BPs is EXACTLY a sum of
+Kronecker products of banded 1D matrices (half-bandwidth p, intra-element
+coupling only):
+
+    stiffness:  A = Mz (x) My (x) Ax  +  Mz (x) Ay (x) Mx  +  Az (x) My (x) Mx
+    mass:       M = Mz (x) My (x) Mx
+
+with ``A_a = Z^T diag(1/h_e) K_e Z`` and ``M_a = Z^T diag(h_e) B_e Z`` the
+per-axis assembled 1D stiffness/mass factors (graded per-element widths
+absorbed per axis, ``ops/separable.py:_axis_tables``). This is the SAME
+discrete operator the reference evaluates per element
+(``bp5/fe_evaluation_gl.h:192-250``, quadrature exact for these
+polynomial degrees), reorganized so the apply is seven global banded
+sweeps with no gather, no scatter and no element-local layout:
+
+    s1 = Ax u     s2 = Mx u                      (x: 2 lane-roll sweeps)
+    t12 = My s1 + Ay s2      t3 = My s2          (y: 3 shifted-row sweeps)
+    out = Mz t12 + (Az + c Mz) t3                (z: 2 window sweeps)
+
+A constant value coefficient ``c`` (Helmholtz) folds into the second
+z-band for free; the mass operator is the 3-sweep tail (s2, t3, c Mz t3).
+
+Dirichlet constraints distribute onto the factors: with the nodal mask
+``M = mz (x) my (x) mx``, ``M (Kz (x) Ky (x) Kx) M = (mz Kz mz) (x)
+(my Ky my) (x) (mx Kx mx)`` — so zeroing the boundary rows/columns of
+each 1D factor makes the kernel compute the constrained form ``M A M``
+with zero extra traffic (identity rows restored by the shared epilogue
+``pallas_stencil.constrained_vmult_padded``).
+
+The DMA schedule, padded layout, and bf16-streaming mode are shared with
+the collocated stencil kernel (``ops/pallas_stencil.py``): grid =
+(y-blocks, z-blocks) with z innermost, a sliding VMEM window reading
+every u plane from HBM exactly once per y-column, double-buffered output
+tiles. Same traffic, ~2.3x the VPU taps — measured BP3 p=5 q=7 at 4.17M
+DoFs on the dev chip: see RESULTS.md (target >= 3 GDoF/s vs 1.46 for the
+per-element kernel).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_stencil import YOFF, StencilLayout, _round_up
+
+__all__ = ["BandedLayout", "build_banded_operator"]
+
+
+class BandedLayout(StencilLayout):
+    """Padded z-streaming layout + per-axis banded Kronecker factors.
+
+    kind="stiffness": the 3-term gradient form (+ optional
+    ``value_const`` Helmholtz term folded into the z-band);
+    kind="mass": the single mass term (scaled by ``value_const`` if
+    given). Distributed construction mirrors StencilLayout:
+    ``phys_elems`` restricts assembly to physical elements,
+    ``faces`` marks which local z/y faces are global Dirichlet walls
+    (partial factors on shared faces sum exactly across shards because
+    the Kronecker product is bilinear in its per-axis factors).
+    """
+
+    @staticmethod
+    def auto_opts(mesh, degree, dtype=jnp.float32, vmem_budget=96 << 20):
+        """Tile selection under the banded kernel's VMEM footprint (the
+        z->y->x sweep order keeps the 2p+1 roll temporaries at the final
+        (BZ, SY) tile). Same DMA-traffic proxy as the stencil kernel,
+        with a subtile-halo amplification term for the z/y sweeps."""
+        p = degree
+        mx, my, mz = mesh.n_elements
+        nx, ny, nz = mx * p + 1, my * p + 1, mz * p + 1
+        nxp = _round_up(nx, 128)
+        ny_eff = _round_up(ny, 8)
+        itemsize = jnp.dtype(dtype).itemsize
+        best = None
+        for BZ in (16, 24, 32):
+            if BZ < 2 * p:
+                continue
+            nzb = -(-(nz + p) // BZ)
+            zt = nzb * BZ + 2 * p
+            WZ = BZ + 2 * p
+            for BY in range(16, max(min(ny_eff, 96), 16) + 1, 8):
+                BY = min(BY, ny_eff)
+                WY = BY + 2 * YOFF
+                nyb = -(-(ny + YOFF) // BY)
+                yt = nyb * BY + 2 * YOFF
+                for SY in (32, 16, 8):
+                    if SY > BY or BY % SY:
+                        continue
+                    # window + 2x input groups + 2x output tiles + the
+                    # y-halo cw/w1/w2 temporaries + (2p+1) roll temps and
+                    # ~6 working tiles at the final (BZ, SY) extent
+                    vmem = itemsize * nxp * (
+                        WZ * WY
+                        + 2 * BZ * WY
+                        + 2 * BZ * BY
+                        + (WZ + 2 * BZ) * (SY + 2 * p)
+                        + (2 * p + 7) * BZ * SY
+                    )
+                    if vmem > vmem_budget:
+                        continue
+                    # z/y sweep work is amplified by the subtile halo
+                    proxy = zt * yt * (1.0 + WY / BY) * (
+                        1.0 + 0.3 * (SY + 2 * p) / SY
+                    )
+                    key = (proxy, BZ, BY, -SY)
+                    if best is None or key < best[0]:
+                        best = (key, BZ, BY, SY)
+        if best is None:
+            return dict(vmem_limit_bytes=110 << 20)
+        return dict(
+            block_z=best[1], block_y=best[2], sub_y=best[3],
+            vmem_limit_bytes=110 << 20,
+        )
+
+    def __init__(self, mesh, basis, dtype, kind="stiffness",
+                 value_const=None, block_z=16, block_y=None, sub_y=None,
+                 vmem_limit_bytes=None, phys_elems=None, faces=None,
+                 stream_dtype=None):
+        from .separable import _bands_from_dense, band_matrix_1d
+
+        assert not mesh.is_mapped, (
+            "banded kernel: tensor-product (uniform/graded brick) meshes "
+            "only — mapped metric terms are non-separable (pallas_general)"
+        )
+        assert kind in ("stiffness", "mass"), kind
+        self.kind = kind
+        self._setup_geometry(
+            mesh, basis.degree, dtype, block_z, block_y, vmem_limit_bytes,
+            stream_dtype,
+        )
+        if sub_y is not None and self.BY % sub_y == 0 and sub_y % 8 == 0:
+            self.SY = sub_y
+        p = self.p
+        mx, my, mz = mesh.n_elements
+        nz, ny, nx = self.real_shape
+        zt, yt, nxp = self.padded_shape
+
+        w, S, D = basis.q_weights, basis.S, basis.D
+        K_e = np.einsum("q,qa,qb->ab", w, D, D)
+        B_e = np.einsum("q,qa,qb->ab", w, S, S)
+        hx, hy, hz = mesh.h_axes()
+        if phys_elems is None:
+            phys_elems = (mx, my, mz)
+        if faces is None:
+            faces = (True, True, True, True)
+        z_lo, z_hi, y_lo, y_hi = faces
+        mx_p, my_p, mz_p = phys_elems
+        assert mx_p == mx, "x axis is never partitioned/padded"
+
+        def axis(m, m_phys, h, n_real, off, n_to, face_lo, face_hi):
+            """(mass_bands, stiff_bands) for one axis in padded coords,
+            assembled over physical elements, Dirichlet rows/cols zeroed
+            per the face flags (the per-axis factorization of M A M)."""
+            n1 = m * p + 1
+            A1 = np.zeros((n1, n1))
+            M1 = np.zeros((n1, n1))
+            if m_phys > 0:
+                n_phys = m_phys * p + 1
+                h = np.broadcast_to(np.asarray(h, float).reshape(-1), (m,))
+                A1[:n_phys, :n_phys] = band_matrix_1d(
+                    m_phys, p, K_e, scale=1.0 / h[:m_phys]
+                )
+                M1[:n_phys, :n_phys] = band_matrix_1d(
+                    m_phys, p, B_e, scale=h[:m_phys]
+                )
+                if face_lo:
+                    A1[0, :] = A1[:, 0] = M1[0, :] = M1[:, 0] = 0.0
+                if m_phys < m:
+                    assert face_hi, "interior shards cannot hold dead padding"
+                if face_hi:
+                    last = m_phys * p
+                    A1[last:, :] = A1[:, last:] = 0.0
+                    M1[last:, :] = M1[:, last:] = 0.0
+
+            def embed(mat):
+                bands = np.zeros((2 * p + 1, n_to))
+                bands[:, off : off + n_real] = _bands_from_dense(mat, p)
+                return bands
+
+            return embed(M1), embed(A1)
+
+        mxb, axb = axis(mx, mx_p, hx, nx, 0, nxp, True, True)
+        myb, ayb = axis(my, my_p, hy, ny, YOFF, yt, y_lo, y_hi)
+        mzb, azb = axis(mz, mz_p, hz, nz, p, zt, z_lo, z_hi)
+
+        c = 0.0 if value_const is None else float(value_const)
+        if kind == "stiffness":
+            bzg = azb + c * mzb  # value term folded into the t3 z-band
+        else:
+            bzg = (1.0 if value_const is None else c) * mzb
+
+        dt = self.dtype
+        # host copies (fold_scale / distributed table slicing)
+        self.mx_np, self.ax_np = mxb, axb
+        self.my_np, self.ay_np = myb, ayb
+        self.mz_np, self.bzg_np = mzb, bzg
+        self.faces = faces
+        # device tables in the kernel's access layouts (see _kernel)
+        self.bxM = jnp.asarray(mxb[:, None, :], dt)  # [2p+1, 1, nxp]
+        self.byM = jnp.asarray(myb[:, :, None], dt)  # [2p+1, yt, 1]
+        self.bzG = jnp.asarray(bzg.T, dt)  # [zt, 2p+1]
+        if kind == "stiffness":
+            self.bxA = jnp.asarray(axb[:, None, :], dt)
+            self.byA = jnp.asarray(ayb[:, :, None], dt)
+            self.bzM = jnp.asarray(mzb.T, dt)
+
+    def fold_bands(self, s: float) -> None:
+        """A <- s*A: scaling the x-axis factors scales every Kronecker
+        term exactly once (each term carries exactly one x factor)."""
+        self.bxM = self.bxM * s
+        self.mx_np = self.mx_np * s
+        if self.kind == "stiffness":
+            self.bxA = self.bxA * s
+            self.ax_np = self.ax_np * s
+
+
+def _banded_kernel(
+    u_hbm,
+    *refs,
+    p: int,
+    BZ: int,
+    BY: int,
+    SY: int,
+    nxp: int,
+    nzb: int,
+    grad: bool,
+    mixed: bool,
+    donated: bool,
+    stages: str = "xyz",
+):
+    """Z-streaming banded-sweep kernel. DMA scaffolding (window fill,
+    slide, prefetch, double-buffered output) mirrors
+    ``pallas_stencil._kernel``; the per-subtile compute is the 7-sweep
+    (grad) / 3-sweep (mass) factorization from the module docstring."""
+    it = iter(refs)
+    if grad:
+        bxA_ref, bxM_ref = next(it), next(it)
+        byA_ref, byM_ref = next(it), next(it)
+        bzM_ref, bzG_ref = next(it), next(it)
+    else:
+        bxM_ref, byM_ref, bzG_ref = next(it), next(it), next(it)
+    if donated:
+        next(it)  # the donated input ref; written through out_hbm
+    out_hbm = next(it)
+    win, ginc, obuf = next(it), next(it), next(it)
+    fill2 = next(it) if mixed else None
+    fill_sem, inc_sem, out_sem = next(it), next(it), next(it)
+
+    j = pl.program_id(0)  # y block (outer)
+    k = pl.program_id(1)  # z block (inner, fastest)
+    WZ, WY = BZ + 2 * p, BY + 2 * YOFF
+
+    def mod2(i):
+        return jax.lax.rem(i, jnp.asarray(2, jnp.int32))
+
+    def prefetch(kk):
+        return pltpu.make_async_copy(
+            u_hbm.at[pl.ds(kk * BZ + 2 * p, BZ), pl.ds(j * BY, WY), :],
+            ginc.at[mod2(kk)],
+            inc_sem.at[mod2(kk)],
+        )
+
+    if not mixed:
+
+        @pl.when(k == 0)
+        def _():
+            cp = pltpu.make_async_copy(
+                u_hbm.at[pl.ds(0, WZ), pl.ds(j * BY, WY), :], win, fill_sem
+            )
+            cp.start()
+            cp.wait()
+
+    else:
+
+        @pl.when(k == 0)
+        def _():
+            cpa = pltpu.make_async_copy(
+                u_hbm.at[pl.ds(0, BZ), pl.ds(j * BY, WY), :],
+                ginc.at[0],
+                inc_sem.at[0],
+            )
+            cpb = pltpu.make_async_copy(
+                u_hbm.at[pl.ds(BZ, 2 * p), pl.ds(j * BY, WY), :],
+                fill2,
+                fill_sem,
+            )
+            cpa.start()
+            cpb.start()
+            cpa.wait()
+            cpb.wait()
+            win[0:BZ] = ginc[0].astype(win.dtype)
+            win[BZ:WZ] = fill2[...].astype(win.dtype)
+
+    @pl.when(k + 1 < nzb)
+    def _():
+        prefetch(k + 1).start()
+
+    @pl.when(k > 0)
+    def _():
+        win[0 : 2 * p] = win[BZ:WZ]
+        prefetch(k).wait()
+        win[2 * p : WZ] = ginc[mod2(k)].astype(win.dtype)
+
+    def out_copy(kk):
+        return pltpu.make_async_copy(
+            obuf.at[mod2(kk)],
+            out_hbm.at[pl.ds(kk * BZ + p, BZ), pl.ds(j * BY + YOFF, BY), :],
+            out_sem.at[mod2(kk)],
+        )
+
+    @pl.when(k >= 2)
+    def _():
+        out_copy(k - 2).wait()
+
+    bzG_s = bzG_ref[pl.ds(k * BZ + p, BZ), :]
+    if grad:
+        bzM_s = bzM_ref[pl.ds(k * BZ + p, BZ), :]
+    oslot = mod2(k)
+    nt = 2 * p + 1
+
+    for ys in range(0, BY, SY):
+        # sweep ORDER is z -> y -> x: contract the z window (WZ -> BZ
+        # rows) and the y halo (SY+2p -> SY cols) FIRST, so the expensive
+        # lane rotates of the x sweep run on the final (BZ, SY) tile only
+        # (the x-first order rolls the full (WZ, SY+2p) slab: 2.1x the
+        # roll volume, 1.5x the multiplies). Factorization per term:
+        #   out = Ax (My (Mz u))  +  Mx (Ay (Mz u) + My (G u)),  G=Az+cMz
+        #
+        # z sweeps: window-plane contraction at the output rows, keeping
+        # the y halo the y sweep needs
+        cw = win[:, YOFF - p + ys : YOFF + p + ys + SY, :]
+        w1 = None  # Mz u   (grad only)
+        w2 = None  # G u
+        for t in range(nt):
+            sl = cw[t : t + BZ]
+            a2 = sl * bzG_s[:, t][:, None, None]
+            w2 = a2 if w2 is None else w2 + a2
+            if grad:
+                a1 = sl * bzM_s[:, t][:, None, None]
+                w1 = a1 if w1 is None else w1 + a1
+        if stages == "z":
+            obuf[oslot, :, ys : ys + SY, :] = (
+                w2[:, p : p + SY, :]
+                + (w1[:, p : p + SY, :] if grad else 0.0)
+            ).astype(obuf.dtype)
+            continue
+        # y sweeps: shifted col slices against the per-row band tables
+        q1 = None  # My w1           -> feeds Ax
+        q2 = None  # Ay w1 + My w2   -> feeds Mx
+        for t in range(nt):
+            byM_t = byM_ref[t, pl.ds(j * BY + YOFF + ys, SY), :][None]
+            sl2 = w2[:, t : t + SY, :]
+            u2 = sl2 * byM_t
+            if grad:
+                sl1 = w1[:, t : t + SY, :]
+                byA_t = byA_ref[t, pl.ds(j * BY + YOFF + ys, SY), :][None]
+                u2 = u2 + sl1 * byA_t
+                u1 = sl1 * byM_t
+                q1 = u1 if q1 is None else q1 + u1
+            q2 = u2 if q2 is None else q2 + u2
+        if stages == "zy":
+            obuf[oslot, :, ys : ys + SY, :] = (
+                q2 + (q1 if grad else 0.0)
+            ).astype(obuf.dtype)
+            continue
+        # x sweeps: static lane rotates on the FINAL (BZ, SY) tile only
+        # (wrapped lanes killed by the zero band entries outside the
+        # domain; int32 shift — see pallas_stencil._kernel)
+        acc = None
+        for t in range(nt):
+            shift = (p - t) % nxp
+            r2 = pltpu.roll(q2, jnp.asarray(shift, jnp.int32), 2)
+            a = r2 * bxM_ref[t]
+            if grad:
+                r1 = pltpu.roll(q1, jnp.asarray(shift, jnp.int32), 2)
+                a = a + r1 * bxA_ref[t]
+            acc = a if acc is None else acc + a
+        obuf[oslot, :, ys : ys + SY, :] = acc.astype(obuf.dtype)
+
+    out_copy(k).start()
+
+    @pl.when(k == nzb - 1)
+    def _():
+        out_copy(k).wait()
+
+        @pl.when(nzb >= 2)
+        def _():
+            out_copy(k - 1).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("layout", "grad", "interpret"))
+def _banded_call(u, tables, out_donate=None, *, layout: BandedLayout, grad,
+                 interpret):
+    L = layout
+    zt, yt, nxp = L.padded_shape
+    WZ, WY = L.BZ + 2 * L.p, L.BY + 2 * YOFF
+    sd = L.stream_dtype
+    cd = L.dtype
+    mixed = sd != cd
+    import os
+
+    kernel = functools.partial(
+        _banded_kernel,
+        p=L.p,
+        BZ=L.BZ,
+        BY=L.BY,
+        SY=L.SY,
+        nxp=nxp,
+        nzb=L.nzb,
+        grad=grad,
+        mixed=mixed,
+        donated=out_donate is not None,
+        stages=os.environ.get("DLCG_BANDED_STAGES", "xyz"),
+    )
+    n_tab = 6 if grad else 3
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] + [
+        pl.BlockSpec(memory_space=pltpu.VMEM)
+    ] * n_tab
+    operands = [u.reshape(L.padded_shape).astype(sd)] + list(tables)
+    aliases = {}
+    if out_donate is not None:
+        aliases = {len(operands): 0}
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        operands.append(out_donate.reshape(L.padded_shape))
+    scratch = [
+        pltpu.VMEM((WZ, WY, nxp), cd),
+        pltpu.VMEM((2, L.BZ, WY, nxp), sd),
+        pltpu.VMEM((2, L.BZ, L.BY, nxp), sd),
+    ]
+    if mixed:
+        scratch.append(pltpu.VMEM((2 * L.p, WY, nxp), sd))
+    scratch += [
+        pltpu.SemaphoreType.DMA(()),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    x64_ctx = (
+        contextlib.nullcontext()
+        if cd == jnp.float64
+        else jax.enable_x64(False)
+    )
+    with x64_ctx:
+        out = pl.pallas_call(
+            kernel,
+            grid=(L.nyb, L.nzb),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct((zt, yt, nxp), sd),
+            scratch_shapes=scratch,
+            interpret=interpret,
+            input_output_aliases=aliases,
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                vmem_limit_bytes=L.vmem_limit_bytes,
+            ),
+        )(*operands)
+    return out.reshape(-1)
+
+
+class build_banded_operator:
+    """Callable cell loop on layout-padded flat vectors: u -> M A M u
+    (constrained rows zeroed by the mask-baked bands; identity rows are
+    the epilogue's job — share ``constrained_vmult_padded``).
+
+    kind="stiffness" (+ optional ``value_const``) or "mass"."""
+
+    def __init__(self, mesh, basis, dtype, kind="stiffness",
+                 value_const=None, interpret=False, **opts):
+        self.layout = BandedLayout(
+            mesh, basis, dtype, kind=kind, value_const=value_const, **opts
+        )
+        self.interpret = interpret
+        self.kind = kind
+
+    def _tables(self):
+        L = self.layout
+        if self.kind == "stiffness":
+            return (L.bxA, L.bxM, L.byA, L.byM, L.bzM, L.bzG)
+        return (L.bxM, L.byM, L.bzG)
+
+    def __call__(self, u: jnp.ndarray) -> jnp.ndarray:
+        return _banded_call(
+            u,
+            self._tables(),
+            layout=self.layout,
+            grad=self.kind == "stiffness",
+            interpret=self.interpret,
+        )
+
+    def vmult_free(self, u: jnp.ndarray, out_donate: jnp.ndarray):
+        """Donated-buffer bare-kernel apply (see
+        ``build_stencil_operator.vmult_free``): the kernel only writes
+        grid-covered tiles, so a donated buffer with zeroed dead strips
+        stays consistent with the layout invariant."""
+        return _banded_call(
+            u,
+            self._tables(),
+            out_donate,
+            layout=self.layout,
+            grad=self.kind == "stiffness",
+            interpret=self.interpret,
+        )
+
+    def fold_scale(self, s: float) -> None:
+        self.layout.fold_bands(s)

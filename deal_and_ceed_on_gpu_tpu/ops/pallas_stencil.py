@@ -167,14 +167,13 @@ class StencilLayout:
             block_z=best[1], block_y=best[2], vmem_limit_bytes=100 << 20
         )
 
-    def __init__(self, mesh, basis, dtype, block_z=16, block_y=None,
-                 vmem_limit_bytes=None, phys_elems=None, faces=None,
-                 stream_dtype=None):
-        from .separable import _bands_from_dense, band_matrix_1d, diag_vector_1d
-
-        assert basis.collocation, "stencil kernel requires GLL collocation"
-        assert mesh.is_uniform, "stencil kernel: uniform meshes only (use separable)"
-        p = basis.degree
+    def _setup_geometry(self, mesh, degree, dtype, block_z, block_y,
+                        vmem_limit_bytes, stream_dtype):
+        """Padded-layout geometry shared by every z-streaming kernel
+        (collocated stencil here, banded-separable in ops/pallas_banded.py):
+        tile sizes, block counts, padded shape. Table assembly is the
+        subclass's job."""
+        p = degree
         assert p <= YOFF, f"y halo fixed at {YOFF}, degree {p} too high"
         self.p = p
         self.dtype = jnp.dtype(dtype)
@@ -230,6 +229,22 @@ class StencilLayout:
         yt = self.nyb * BY + 2 * YOFF
         self.padded_shape = (zt, yt, nxp)
         self.n = zt * yt * nxp
+
+    def __init__(self, mesh, basis, dtype, block_z=16, block_y=None,
+                 vmem_limit_bytes=None, phys_elems=None, faces=None,
+                 stream_dtype=None):
+        from .separable import _bands_from_dense, band_matrix_1d, diag_vector_1d
+
+        assert basis.collocation, "stencil kernel requires GLL collocation"
+        assert mesh.is_uniform, "stencil kernel: uniform meshes only (use separable)"
+        self._setup_geometry(
+            mesh, basis.degree, dtype, block_z, block_y, vmem_limit_bytes,
+            stream_dtype,
+        )
+        p = self.p
+        mx, my, mz = mesh.n_elements
+        nz, ny, nx = self.real_shape
+        zt, yt, nxp = self.padded_shape
 
         # ---------------- tables in PADDED coordinates ---------------- #
         # symmetric rescaling: B_d = c_d * d^{-1/2} A1_d d^{-1/2},

@@ -1,0 +1,92 @@
+"""Banded-separable Pallas kernel (``ops/pallas_banded.py``): interpret-mode
+exactness against the XLA backends for every kind/quadrature/mesh combination
+the kernel claims (any Gauss rule on uniform and graded bricks — the BP1-BP4
+configurations, reference ``bp5/fe_evaluation_gl.h:192-250``)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deal_and_ceed_on_gpu_tpu import BrickMesh, FESpace
+from deal_and_ceed_on_gpu_tpu.models import (
+    HelmholtzOperator,
+    MassOperator,
+    PoissonOperator,
+)
+from deal_and_ceed_on_gpu_tpu.ops.pallas_banded import (
+    BandedLayout,
+    build_banded_operator,
+)
+
+
+def _mesh(n_el, graded):
+    if graded:
+        rng = np.random.default_rng(7)
+        bks = [
+            np.cumsum(np.concatenate([[0.0], 0.6 + rng.random(m)]))
+            for m in n_el
+        ]
+        return BrickMesh.graded(*bks)
+    return BrickMesh(n_el)
+
+
+def _oracle(space, kind, c):
+    if kind == "mass":
+        op = MassOperator(space, backend="separable")
+        if c is not None:
+            op.fold_scale(c)
+        return op
+    if c is not None:
+        return HelmholtzOperator(
+            space, backend="structured",
+            coefficient_fn=lambda x: c + 0.0 * x[..., 0],
+        )
+    return PoissonOperator(space, backend="separable")
+
+
+@pytest.mark.parametrize(
+    "n_el,p,q,graded,kind,c",
+    [
+        ((4, 5, 6), 3, 5, False, "stiffness", None),
+        ((4, 5, 6), 3, 4, True, "stiffness", 2.5),
+        ((3, 4, 5), 5, 7, True, "stiffness", None),
+        ((4, 5, 6), 2, 4, True, "mass", None),
+        ((3, 4, 5), 4, 6, False, "mass", 3.0),
+    ],
+)
+def test_banded_exact_vs_oracle(n_el, p, q, graded, kind, c):
+    mesh = _mesh(n_el, graded)
+    space = FESpace.create(mesh, p, n_q=q, rule="gauss", dtype=jnp.float64)
+    op = build_banded_operator(
+        mesh, space.basis, jnp.float64, kind=kind, value_const=c,
+        interpret=True
+    )
+    oracle = _oracle(space, kind, c)
+    u = np.random.default_rng(0).standard_normal(space.n_dofs)
+    L = op.layout
+    got = np.asarray(L.unpad_flat(op(L.pad_flat(jnp.asarray(u)))))
+    # the kernel computes the constrained M A M only; vmult matches it on
+    # free rows (identity rows are the epilogue's job)
+    free = ~np.asarray(space.dirichlet_mask)
+    want = np.asarray(oracle.vmult(jnp.asarray(u)))
+    scale = np.abs(want[free]).max()
+    assert np.abs(got[free] - want[free]).max() < 1e-11 * scale
+    # constrained rows are exactly zero (mask baked into the 1D factors)
+    assert np.abs(got[~free]).max() == 0.0
+
+
+def test_banded_fold_scale_and_auto_opts():
+    mesh = BrickMesh((4, 4, 4))
+    space = FESpace.create(mesh, 3, n_q=5, rule="gauss", dtype=jnp.float64)
+    opts = BandedLayout.auto_opts(mesh, 3, jnp.float64)
+    assert set(opts) <= {"block_z", "block_y", "sub_y", "vmem_limit_bytes"}
+    op = build_banded_operator(mesh, space.basis, jnp.float64, interpret=True)
+    u = jnp.asarray(np.random.default_rng(1).standard_normal(space.n_dofs))
+    L = op.layout
+    up = L.pad_flat(u)
+    before = op(up)
+    op.fold_scale(2.5)
+    after = op(up)
+    np.testing.assert_allclose(
+        np.asarray(after), 2.5 * np.asarray(before), rtol=1e-13, atol=1e-13
+    )
