@@ -56,14 +56,26 @@ def run_sweep(
             n_iterations, 1e-6 * float(jnp.linalg.norm(b))
         )
 
+        # pallas backends: whole solves run in the kernel-owned padded
+        # layout (zero padding is a CG invariant — see drivers/bp5.py)
+        scalar_backend = getattr(
+            op, "backend", getattr(getattr(op, "scalar_op", None), "backend", None)
+        )
+        if scalar_backend == "pallas":
+            b_solve = jax.block_until_ready(op.pad_flat(b) if n_comp > 1
+                                            else op.layout.pad_flat(b))
+            vm = op.vmult_padded
+        else:
+            b_solve, vm = b, op.vmult
+
         if "pcg-merged" in modes:
-            f = jax.jit(lambda b: solve_cg_merged(op.vmult, b, control))
-            x, info = f(b)
+            f = jax.jit(lambda b: solve_cg_merged(vm, b, control))
+            x, info = f(b_solve)
             jax.block_until_ready(x)
             times, iters = [], []
             for _ in range(n_repetitions):
                 t = Timer().start()
-                x, info = f(b)
+                x, info = f(b_solve)
                 t.stop(fence=x)
                 times.append(t.elapsed)
                 iters.append(int(info["n_iterations"]))
@@ -72,15 +84,15 @@ def run_sweep(
             res["pcg-merged"] = tp
 
         if "vmult" in modes:
-            u = b / jnp.linalg.norm(b)
-            v = jax.block_until_ready(op.vmult(u))
+            u = b_solve / jnp.linalg.norm(b_solve)
+            v = jax.block_until_ready(vm(u))
             # fold the normalization into the tables: pure chained applies
             op.fold_scale(1.0 / max(float(jnp.linalg.norm(v)), 1.0))
 
             @jax.jit
             def chain(u):
                 return jax.lax.fori_loop(
-                    0, n_iterations, lambda i, v: op.vmult(v), u
+                    0, n_iterations, lambda i, v: vm(v), u
                 )
 
             jax.block_until_ready(chain(u))

@@ -63,6 +63,10 @@ class BP5Config:
     # +21% pcg-merged at cycle 33). Solutions are rounded to ~1e-3; full
     # accuracy needs iterative refinement around it (solvers/ir.py).
     stream_dtype: str | None = None
+    # explicit opt-in for running a float64 request on the XLA separable
+    # path when a Mosaic (f32/bf16-only) backend was asked for — without
+    # it the driver refuses loudly and points at pcg-ir (VERDICT r3 §4)
+    f64_fallback_ok: bool = False
 
 
 import contextlib
@@ -149,6 +153,20 @@ def run_cycle(cycle: int, cfg: BP5Config):
         and not (cfg.pallas_opts or {}).get("interpret")
     ):
         eff_backend = "separable"
+        # pcg-ir is the sanctioned f64 x kernel combination: the inner f32
+        # solves run on the requested Mosaic backend, and the f64 operator
+        # built here only serves outer residuals/validation
+        if not cfg.f64_fallback_ok and "pcg-ir" not in cfg.modes:
+            raise SystemExit(
+                f"--dtype float64 --backend {cfg.backend}: Mosaic TPU "
+                "kernels are f32/bf16-only (the reference runs native f64, "
+                "bp5/step-64.cu:206 — TPUs have no f64 ALUs). For "
+                "reference-grade 1e-10 accuracy WITH the fused kernel use "
+                "--modes pcg-ir (mixed-precision iterative refinement, "
+                "measured 5.7-50x faster than all-f64 — RESULTS.md), or "
+                "pass --f64-fallback to accept the XLA separable path for "
+                "the f64 operator."
+            )
     op_kwargs = (
         {"pallas_opts": cfg.pallas_opts}
         if eff_backend in ("pallas", "pallas_general")
@@ -602,6 +620,13 @@ def main():
         help="MXU matmul precision for f32 paths (highest=bf16x6 exact, "
         "high=bf16x3 ~2.6e-6 rel.err, default=bf16 ~8e-4 — benchmark-only)",
     )
+    ap.add_argument(
+        "--f64-fallback",
+        action="store_true",
+        help="with --dtype float64 and a Mosaic backend (f32/bf16-only): "
+        "accept the XLA separable path for the f64 operator instead of "
+        "erroring (pcg-ir is the recommended f64-accuracy mode)",
+    )
     args = ap.parse_args()
     from ..utils import ensure_x64
 
@@ -615,6 +640,7 @@ def main():
         modes=tuple(args.modes.split(",")),
         mxu_precision=args.mxu_precision,
         stream_dtype=args.stream_dtype,
+        f64_fallback_ok=args.f64_fallback,
         # stencil tiles are auto-selected per mesh (StencilLayout
         # .auto_opts) when pallas_opts is None; the general kernel fixes
         # its MXU precision at construction, so the --mxu-precision flag

@@ -22,6 +22,20 @@ class MassOperator(MatrixFreeOperator):
 
     def __init__(self, space: FESpace, backend: str = "structured",
                  pallas_opts: dict | None = None):
+        if backend == "pallas":
+            # fused banded-Kronecker kernel on the padded z-streaming
+            # layout (ops/pallas_banded.py, kind="mass") — the BP1/BP2
+            # fast path on (graded) bricks for any quadrature rule
+            from ..ops.pallas_banded import build_banded_operator
+
+            super().__init__(space, "separable")
+            self.backend = "pallas"
+            self._pallas_opts = dict(pallas_opts or {})
+            self._stencil = build_banded_operator(
+                space.mesh, space.basis, space.dtype, kind="mass",
+                **(pallas_opts or {})
+            )
+            return
         super().__init__(space, backend)
         geo = space.geometry
         if backend == "separable":
@@ -42,7 +56,30 @@ class MassOperator(MatrixFreeOperator):
             return
         self._jxw = jnp.asarray(self.jxw_layout(), dtype=space.dtype)
 
+    # ------------------- pallas (padded-layout) path ------------------- #
+    @property
+    def layout(self):
+        return self._stencil.layout
+
+    def vmult_padded(self, src: jnp.ndarray) -> jnp.ndarray:
+        """dst = M src on layout-padded flat vectors (see
+        :func:`..ops.pallas_stencil.constrained_vmult_padded`)."""
+        from ..ops.pallas_stencil import constrained_vmult_padded
+
+        return constrained_vmult_padded(self._stencil, src)
+
+    def vmult(self, src: jnp.ndarray) -> jnp.ndarray:
+        if self.backend == "pallas":
+            L = self._stencil.layout
+            if src.shape[0] == L.n:
+                return self.vmult_padded(src)
+            return L.unpad_flat(self.vmult_padded(L.pad_flat(src)))
+        return super().vmult(src)
+
     def _apply_fold_scale(self, s: float) -> None:
+        if self.backend == "pallas":
+            self._stencil.fold_scale(s)
+            return
         if self.backend == "pallas_general":
             self._general.fold_scale(s)
             return

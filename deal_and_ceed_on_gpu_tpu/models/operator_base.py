@@ -259,6 +259,14 @@ class MatrixFreeOperator:
                 f"{type(self).__name__} ({self.backend}): the fused CG "
                 "kernel requires the pallas stencil backend"
             )
+        from ..ops.pallas_banded import build_banded_operator
+
+        if isinstance(self._stencil, build_banded_operator):
+            raise NotImplementedError(
+                f"{type(self).__name__}: the fused CG kernel covers the "
+                "collocated stencil backend only (banded operators solve "
+                "via solve_cg_merged on the padded layout)"
+            )
         step = getattr(self, "_fused_cg_step", None)
         if step is None:
             from ..ops.pallas_cg import CGFusedStep

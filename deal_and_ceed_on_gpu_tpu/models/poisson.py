@@ -35,19 +35,30 @@ class PoissonOperator(MatrixFreeOperator):
         pallas_opts: dict | None = None,
     ):
         if backend == "pallas":
-            # fused stencil kernel with the kernel-owned padded layout
-            # (ops/pallas_stencil.py); vectors are layout padded-flat.
-            # pallas_opts: block_z / block_y / vmem_limit_bytes tile tuning
-            # (measured sweep in RESULTS.md).
-            from ..ops.pallas_stencil import build_stencil_operator
-
+            # fused z-streaming kernel with the kernel-owned padded layout;
+            # vectors are layout padded-flat. GLL collocation rides the
+            # 3-sweep stencil kernel (ops/pallas_stencil.py); any other
+            # Gauss rule on a (graded) brick rides the 7-sweep banded
+            # Kronecker kernel (ops/pallas_banded.py, the BP3/BP4 fast
+            # path). pallas_opts: block_z / block_y / vmem_limit_bytes
+            # tile tuning (measured sweeps in RESULTS.md).
             super().__init__(space, "separable")
             self.backend = "pallas"
             self.coefficient = coefficient
             self._pallas_opts = dict(pallas_opts or {})  # for VectorOperator
-            self._stencil = build_stencil_operator(
-                space.mesh, space.basis, space.dtype, **(pallas_opts or {})
-            )
+            if space.basis.collocation:
+                from ..ops.pallas_stencil import build_stencil_operator
+
+                self._stencil = build_stencil_operator(
+                    space.mesh, space.basis, space.dtype, **(pallas_opts or {})
+                )
+            else:
+                from ..ops.pallas_banded import build_banded_operator
+
+                self._stencil = build_banded_operator(
+                    space.mesh, space.basis, space.dtype, kind="stiffness",
+                    **(pallas_opts or {})
+                )
             return
         if backend == "pallas_general":
             # fused general-quadrature kernel: any rule (Gauss p+1/p+2,
@@ -121,6 +132,11 @@ class PoissonOperator(MatrixFreeOperator):
             self._general.fold_scale(s)
             return
         if self.backend == "pallas":
+            from ..ops.pallas_banded import build_banded_operator
+
+            if isinstance(self._stencil, build_banded_operator):
+                self._stencil.fold_scale(s)
+                return
             # out = S (Bz + By + Bx) S u: scaling every band table by s
             # scales the whole apply by s (identity faces unaffected)
             L = self._stencil.layout

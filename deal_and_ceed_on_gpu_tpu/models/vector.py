@@ -32,6 +32,7 @@ class VectorOperator:
         self._stacked = None
         if (
             getattr(scalar_op, "backend", None) == "pallas"
+            and scalar_op.space.basis.collocation
             and getattr(scalar_op._stencil, "_a", None) is None
         ):
             # gradient-only stencil operators (Poisson/BP6) get the

@@ -214,12 +214,26 @@ class BandedLayout(StencilLayout):
         self.faces = faces
         # device tables in the kernel's access layouts (see _kernel)
         self.bxM = jnp.asarray(mxb[:, None, :], dt)  # [2p+1, 1, nxp]
-        self.byM = jnp.asarray(myb[:, :, None], dt)  # [2p+1, yt, 1]
+        self.byM = self._y_blocks(myb)  # [n_sub, 2p+1, SY, 1]
         self.bzG = jnp.asarray(bzg.T, dt)  # [zt, 2p+1]
         if kind == "stiffness":
             self.bxA = jnp.asarray(axb[:, None, :], dt)
-            self.byA = jnp.asarray(ayb[:, :, None], dt)
+            self.byA = self._y_blocks(ayb)
             self.bzM = jnp.asarray(mzb.T, dt)
+
+    def _y_blocks(self, bands: np.ndarray) -> jnp.ndarray:
+        """Reshape a [2p+1, yt] y band table into per-subtile blocks
+        [n_sub, 2p+1, SY, 1]: the kernel indexes the MAJOR dim with the
+        (dynamic) subtile id and the tap statically — a dynamic
+        sublane-offset slice per tap would force a Mosaic realignment of
+        the table on every access (measured 0.59 ms of a 1.37 ms apply)."""
+        nsub_j = self.BY // self.SY
+        n_sub = self.nyb * nsub_j
+        blk = np.zeros((n_sub, 2 * self.p + 1, self.SY), bands.dtype)
+        for js in range(n_sub):
+            y0 = (js // nsub_j) * self.BY + YOFF + (js % nsub_j) * self.SY
+            blk[js] = bands[:, y0 : y0 + self.SY]
+        return jnp.asarray(blk[..., None], self.dtype)
 
     def fold_bands(self, s: float) -> None:
         """A <- s*A: scaling the x-axis factors scales every Kronecker
@@ -238,11 +252,14 @@ def _banded_kernel(
     BZ: int,
     BY: int,
     SY: int,
+    SYP: int,
     nxp: int,
     nzb: int,
     grad: bool,
     mixed: bool,
     donated: bool,
+    constrained: bool,
+    real_shape: tuple,
     stages: str = "xyz",
 ):
     """Z-streaming banded-sweep kernel. DMA scaffolding (window fill,
@@ -344,8 +361,9 @@ def _banded_kernel(
         #   out = Ax (My (Mz u))  +  Mx (Ay (Mz u) + My (G u)),  G=Az+cMz
         #
         # z sweeps: window-plane contraction at the output rows, keeping
-        # the y halo the y sweep needs
-        cw = win[:, YOFF - p + ys : YOFF + p + ys + SY, :]
+        # an ALIGNED y-halo slab (start ys, extent SYP — both sublane-tile
+        # multiples; output row a maps to slab row a + YOFF - p)
+        cw = win[:, ys : ys + SYP, :]
         w1 = None  # Mz u   (grad only)
         w2 = None  # G u
         for t in range(nt):
@@ -357,21 +375,35 @@ def _banded_kernel(
                 w1 = a1 if w1 is None else w1 + a1
         if stages == "z":
             obuf[oslot, :, ys : ys + SY, :] = (
-                w2[:, p : p + SY, :]
-                + (w1[:, p : p + SY, :] if grad else 0.0)
+                w2[:, YOFF : YOFF + SY, :]
+                + (w1[:, YOFF : YOFF + SY, :] if grad else 0.0)
             ).astype(obuf.dtype)
             continue
-        # y sweeps: shifted col slices against the per-row band tables
+        # y sweeps: a static sublane ROTATE + aligned [0:SY] slice per tap
+        # (an unaligned sublane slice forces a full Mosaic relayout —
+        # measured 0.59 ms of a 1.37 ms apply; rotates are vector shifts).
+        # Output row a needs slab rows a + (YOFF - p) + t, and
+        # a + YOFF - p + t <= SY-1 + YOFF + p < SYP, so no wrapped lanes
+        # are ever read. Tap tables are per-SUBTILE blocks indexed on the
+        # major dim (dynamic sublane-offset table slices realign too).
+        jsub = j * (BY // SY) + ys // SY
+        byM_blk = byM_ref[jsub]
+        if grad:
+            byA_blk = byA_ref[jsub]
         q1 = None  # My w1           -> feeds Ax
         q2 = None  # Ay w1 + My w2   -> feeds Mx
         for t in range(nt):
-            byM_t = byM_ref[t, pl.ds(j * BY + YOFF + ys, SY), :][None]
-            sl2 = w2[:, t : t + SY, :]
+            shift = (SYP - (YOFF - p + t)) % SYP
+            byM_t = byM_blk[t][None]
+            sl2 = pltpu.roll(w2, jnp.asarray(shift, jnp.int32), 1)[
+                :, 0:SY, :
+            ]
             u2 = sl2 * byM_t
             if grad:
-                sl1 = w1[:, t : t + SY, :]
-                byA_t = byA_ref[t, pl.ds(j * BY + YOFF + ys, SY), :][None]
-                u2 = u2 + sl1 * byA_t
+                sl1 = pltpu.roll(w1, jnp.asarray(shift, jnp.int32), 1)[
+                    :, 0:SY, :
+                ]
+                u2 = u2 + sl1 * byA_blk[t][None]
                 u1 = sl1 * byM_t
                 q1 = u1 if q1 is None else q1 + u1
             q2 = u2 if q2 is None else q2 + u2
@@ -392,6 +424,24 @@ def _banded_kernel(
                 r1 = pltpu.roll(q1, jnp.asarray(shift, jnp.int32), 2)
                 a = a + r1 * bxA_ref[t]
             acc = a if acc is None else acc + a
+        if constrained:
+            # Dirichlet identity rows folded into the kernel: the input
+            # tile is already in VMEM (cw at the output coordinates), so
+            # the face copy costs one select instead of the epilogue's
+            # extra HBM pass over src (bp5/step-64.cu:275)
+            nz, ny, nx = real_shape
+            zr = jax.lax.broadcasted_iota(jnp.int32, (BZ, SY, nxp), 0)
+            yr = jax.lax.broadcasted_iota(jnp.int32, (BZ, SY, nxp), 1)
+            xr = jax.lax.broadcasted_iota(jnp.int32, (BZ, SY, nxp), 2)
+            zg = k * BZ + p + zr
+            yg = j * BY + YOFF + ys + yr
+            face = (
+                (zg == p) | (zg == p + nz - 1)
+                | (yg == YOFF) | (yg == YOFF + ny - 1)
+                | (xr == 0) | (xr == nx - 1)
+            )
+            u_tile = cw[p : p + BZ, YOFF : YOFF + SY, :]
+            acc = jnp.where(face, u_tile.astype(acc.dtype), acc)
         obuf[oslot, :, ys : ys + SY, :] = acc.astype(obuf.dtype)
 
     out_copy(k).start()
@@ -405,9 +455,11 @@ def _banded_kernel(
             out_copy(k - 1).wait()
 
 
-@functools.partial(jax.jit, static_argnames=("layout", "grad", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("layout", "grad", "interpret", "constrained")
+)
 def _banded_call(u, tables, out_donate=None, *, layout: BandedLayout, grad,
-                 interpret):
+                 interpret, constrained=False):
     L = layout
     zt, yt, nxp = L.padded_shape
     WZ, WY = L.BZ + 2 * L.p, L.BY + 2 * YOFF
@@ -422,11 +474,14 @@ def _banded_call(u, tables, out_donate=None, *, layout: BandedLayout, grad,
         BZ=L.BZ,
         BY=L.BY,
         SY=L.SY,
+        SYP=_round_up(L.SY + 2 * L.p, 8),
         nxp=nxp,
         nzb=L.nzb,
         grad=grad,
         mixed=mixed,
         donated=out_donate is not None,
+        constrained=constrained,
+        real_shape=L.real_shape,
         stages=os.environ.get("DLCG_BANDED_STAGES", "xyz"),
     )
     n_tab = 6 if grad else 3
@@ -502,6 +557,20 @@ class build_banded_operator:
             layout=self.layout,
             grad=self.kind == "stiffness",
             interpret=self.interpret,
+        )
+
+    def constrained_call(self, u: jnp.ndarray) -> jnp.ndarray:
+        """Apply with the Dirichlet identity faces selected IN-kernel
+        (the input tile is already in VMEM) — the epilogue then only has
+        to zero the grid-uncovered pad strips, saving a full HBM pass
+        over src (see ``pallas_stencil.constrained_vmult_padded``)."""
+        return _banded_call(
+            u,
+            self._tables(),
+            layout=self.layout,
+            grad=self.kind == "stiffness",
+            interpret=self.interpret,
+            constrained=True,
         )
 
     def vmult_free(self, u: jnp.ndarray, out_donate: jnp.ndarray):

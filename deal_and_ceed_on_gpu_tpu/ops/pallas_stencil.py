@@ -68,27 +68,41 @@ def constrained_vmult_padded(stencil, src: jnp.ndarray) -> jnp.ndarray:
     L = stencil.layout
     p = L.p
     nz, ny, nx = L.real_shape
-    zt, yt, _ = L.padded_shape
+    shp = L.padded_shape
     zhi = p + L.nzb * L.BZ
     yhi = YOFF + L.nyb * L.BY
-    s3 = src.reshape(L.padded_shape)
-    dst = stencil(src).reshape(L.padded_shape)
-    # (a) pad strips the output tiles never write. Explicit-dtype zero:
-    # under jax_enable_x64 a weak 0.0 binds f64 and scattering it into a
-    # bf16-streaming dst is an unsafe cast (FutureWarning -> error).
+    if hasattr(stencil, "constrained_call"):
+        # banded kernel: identity faces are selected in-kernel; only the
+        # grid-uncovered pad strips remain (one select, no src read)
+        dst = stencil.constrained_call(src).reshape(shp)
+        z = jax.lax.broadcasted_iota(jnp.int32, shp, 0)
+        y = jax.lax.broadcasted_iota(jnp.int32, shp, 1)
+        strip = (z < p) | (z >= zhi) | (y < YOFF) | (y >= yhi)
+        dst = jnp.where(strip, jnp.zeros((), dst.dtype), dst)
+        return dst.reshape(-1)
+    s3 = src.reshape(shp)
+    dst = stencil(src).reshape(shp)
+    # ONE fused select pass with iota-expression masks (a chain of
+    # .at[].set() dynamic-update-slices compiles to ~4 full passes —
+    # measured 0.54 ms of a 1.74 ms banded apply at 9.5M padded elems;
+    # this form is a single elementwise pass, and large boolean mask
+    # constants would explode compile times).
+    z = jax.lax.broadcasted_iota(jnp.int32, shp, 0)
+    y = jax.lax.broadcasted_iota(jnp.int32, shp, 1)
+    x = jax.lax.broadcasted_iota(jnp.int32, shp, 2)
+    # (a) pad strips the output tiles never write (grid-uncovered rows)
+    strip = (z < p) | (z >= zhi) | (y < YOFF) | (y >= yhi)
+    # (b) Dirichlet identity faces; whole padded planes are safe because
+    # src's dead strips are zero by the layout invariant
+    face = (
+        (z == p) | (z == p + nz - 1)
+        | (y == YOFF) | (y == YOFF + ny - 1)
+        | (x == 0) | (x == nx - 1)
+    )
+    # explicit-dtype zero: under jax_enable_x64 a weak 0.0 binds f64 and
+    # selecting it into a bf16-streaming dst is an unsafe cast
     z0 = jnp.zeros((), dst.dtype)
-    dst = dst.at[:p].set(z0)
-    if zhi < zt:
-        dst = dst.at[zhi:].set(z0)
-    dst = dst.at[:, :YOFF].set(z0)
-    if yhi < yt:
-        dst = dst.at[:, yhi:].set(z0)
-    # (b) Dirichlet identity faces
-    dst = dst.at[p].set(s3[p]).at[p + nz - 1].set(s3[p + nz - 1])
-    dst = dst.at[:, YOFF].set(s3[:, YOFF])
-    dst = dst.at[:, YOFF + ny - 1].set(s3[:, YOFF + ny - 1])
-    dst = dst.at[:, :, 0].set(s3[:, :, 0])
-    dst = dst.at[:, :, nx - 1].set(s3[:, :, nx - 1])
+    dst = jnp.where(strip, z0, jnp.where(face, s3, dst))
     return dst.reshape(-1)
 
 YOFF = 8  # y front pad (supports p <= 8)

@@ -66,6 +66,35 @@ for rounds in ROUNDS:
     )
     b = assemble_rhs_adaptive(space, 1.0)
 
+    # f32 chained-vmult throughput (the VERDICT r3 item-3 metric)
+    s32v = AdaptiveSpace(mesh, 2, dtype=jnp.float32)
+    op32v = AdaptivePoissonOperator(s32v)
+    u = jnp.asarray(
+        np.random.default_rng(0).standard_normal(n), jnp.float32
+    )
+    u = u / jnp.linalg.norm(u)
+    v = jax.block_until_ready(op32v.vmult(u))
+    nrm = float(jnp.linalg.norm(v))
+
+    N_AP = 50
+
+    @jax.jit
+    def chain(x):
+        return jax.lax.fori_loop(
+            0, N_AP, lambda i, x: op32v.vmult(x) / nrm, x
+        )
+
+    jax.block_until_ready(chain(u))
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(chain(u))
+        best = min(best, (time.perf_counter() - t0) / N_AP)
+    print(
+        f"  f32 vmult : {best*1e3:.3f} ms/apply -> {n/best/1e9:.2f} GDoF/s",
+        flush=True,
+    )
+
     # f64 MG-CG (the CPU table's configuration)
     t0 = time.perf_counter()
     mg = AdaptiveMultigrid(space, fine_op=op)

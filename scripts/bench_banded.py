@@ -111,10 +111,18 @@ def bench():
                     L.stream_dtype)
 
     N_AP = 50
+    if os.environ.get("EPI"):
+        from deal_and_ceed_on_gpu_tpu.ops.pallas_stencil import (
+            constrained_vmult_padded,
+        )
+
+        apply = lambda x: constrained_vmult_padded(op, x)  # noqa: E731
+    else:
+        apply = op
 
     @jax.jit
     def chain(x):
-        return jax.lax.fori_loop(0, N_AP, lambda i, x: op(x), x)
+        return jax.lax.fori_loop(0, N_AP, lambda i, x: apply(x), x)
 
     jax.block_until_ready(chain(u))
     best = 1e9

@@ -126,15 +126,25 @@ def test_bp5_auto_backend_resolves_by_size():
 
 
 def test_bp5_f64_pallas_falls_back_to_separable():
-    """--dtype float64 --backend pallas (no interpret): the f64 modes run
-    the separable path (Mosaic kernels are f32/bf16-only). Passing on the
-    CPU test platform proves the fallback fired — a real (non-interpret)
-    pallas build here raises 'Only interpret mode is supported on CPU'.
-    The pcg-ir mode keeps its f32 pallas inner operator (TPU-verified via
-    the bp5 driver; its CPU smoke is the interpret-mode pcg-ir test)."""
+    """--dtype float64 --backend pallas (no interpret): refused loudly by
+    default (Mosaic kernels are f32/bf16-only — VERDICT r3 item 4); with
+    the explicit --f64-fallback opt-in the f64 modes run the separable
+    path. Passing on the CPU test platform proves the fallback fired — a
+    real (non-interpret) pallas build here raises 'Only interpret mode is
+    supported on CPU'. The pcg-ir mode keeps its f32 pallas inner operator
+    without the opt-in (TPU-verified via the bp5 driver; its CPU smoke is
+    the interpret-mode pcg-ir test)."""
+    import pytest
+
     cfg = bp5.BP5Config(
         degree=2, n_iterations=12, n_repetitions=1, dtype="float64",
         backend="pallas", modes=("pcg-merged", "vmult"),
+    )
+    with pytest.raises(SystemExit, match="pcg-ir"):
+        bp5.run_cycle(8, cfg)
+    cfg = bp5.BP5Config(
+        degree=2, n_iterations=12, n_repetitions=1, dtype="float64",
+        backend="pallas", modes=("pcg-merged", "vmult"), f64_fallback_ok=True,
     )
     res = bp5.run_cycle(8, cfg)
     assert res["pcg-merged"] > 0 and res["vmult"] > 0

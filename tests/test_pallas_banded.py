@@ -75,6 +75,39 @@ def test_banded_exact_vs_oracle(n_el, p, q, graded, kind, c):
     assert np.abs(got[~free]).max() == 0.0
 
 
+@pytest.mark.parametrize("bp", ["bp1", "bp3"])
+def test_bp_operator_pallas_backend(bp):
+    """backend="pallas" on the Gauss-rule BPs routes to the banded kernel;
+    operator-level vmult (incl. the constrained epilogue) matches the
+    separable oracle on GLOBAL vectors, and a merged-CG solve in the
+    padded layout matches the separable solve."""
+    from deal_and_ceed_on_gpu_tpu.models import assemble_rhs, make_bp_operator
+    from deal_and_ceed_on_gpu_tpu.solvers import (
+        IterationNumberControl,
+        solve_cg_merged,
+    )
+
+    mesh = BrickMesh((4, 4, 4))
+    _, op_ref = make_bp_operator(bp, mesh, 3, dtype=jnp.float64)
+    space, op = make_bp_operator(bp, mesh, 3, dtype=jnp.float64,
+                                 backend="pallas")
+    op._stencil.interpret = True
+    u = jnp.asarray(np.random.default_rng(2).standard_normal(space.n_dofs))
+    np.testing.assert_allclose(
+        np.asarray(op.vmult(u)), np.asarray(op_ref.vmult(u)),
+        rtol=1e-12, atol=1e-12,
+    )
+    b = assemble_rhs(space, 1.0)
+    ctl = IterationNumberControl(25, 1e-12 * float(jnp.linalg.norm(b)))
+    x_ref, _ = solve_cg_merged(op_ref.vmult, b, ctl)
+    L = op.layout
+    xp, _ = solve_cg_merged(op.vmult_padded, L.pad_flat(b), ctl)
+    np.testing.assert_allclose(
+        np.asarray(L.unpad_flat(xp)), np.asarray(x_ref), rtol=1e-10,
+        atol=1e-10 * float(jnp.linalg.norm(x_ref)),
+    )
+
+
 def test_banded_fold_scale_and_auto_opts():
     mesh = BrickMesh((4, 4, 4))
     space = FESpace.create(mesh, 3, n_q=5, rule="gauss", dtype=jnp.float64)
