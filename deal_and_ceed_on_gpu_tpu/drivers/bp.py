@@ -65,11 +65,16 @@ def run_sweep(
             b_solve = jax.block_until_ready(op.pad_flat(b) if n_comp > 1
                                             else op.layout.pad_flat(b))
             vm = op.vmult_padded
+            # donated bare-kernel applies inside the solve and the chain:
+            # the kernel tables encode M A M, every CG vector stays zero
+            # on the constrained set (b is), no strip/face epilogue
+            merged_kw = dict(A_donate=op.vmult_free)
         else:
             b_solve, vm = b, op.vmult
+            merged_kw = {}
 
         if "pcg-merged" in modes:
-            f = jax.jit(lambda b: solve_cg_merged(vm, b, control))
+            f = jax.jit(lambda b: solve_cg_merged(vm, b, control, **merged_kw))
             x, info = f(b_solve)
             jax.block_until_ready(x)
             times, iters = [], []
@@ -89,11 +94,26 @@ def run_sweep(
             # fold the normalization into the tables: pure chained applies
             op.fold_scale(1.0 / max(float(jnp.linalg.norm(v)), 1.0))
 
-            @jax.jit
-            def chain(u):
-                return jax.lax.fori_loop(
-                    0, n_iterations, lambda i, v: vm(v), u
-                )
+            if scalar_backend == "pallas":
+                # donated double-buffer bare-kernel chain (see bp5.py)
+                @jax.jit
+                def chain(u):
+                    def body(i, c):
+                        v, w = c
+                        return op.vmult_free(v, w), v
+
+                    v, _ = jax.lax.fori_loop(
+                        0, n_iterations, body, (u, jnp.zeros_like(u))
+                    )
+                    return v
+
+            else:
+
+                @jax.jit
+                def chain(u):
+                    return jax.lax.fori_loop(
+                        0, n_iterations, lambda i, v: vm(v), u
+                    )
 
             jax.block_until_ready(chain(u))
             best = 0.0

@@ -91,6 +91,20 @@ class VectorOperator:
             ]
         )
 
+    def vmult_free(self, src: jnp.ndarray, out_donate: jnp.ndarray):
+        """Donated-buffer bare-kernel apply (``M A M``, no epilogue) —
+        the solve-mode fast path (see ``solve_cg_merged``'s ``A_donate``).
+        One stacked launch when available, else per-component calls with
+        per-component donated slices."""
+        if self._stacked is not None:
+            return self._stacked.vmult_free(src, out_donate)
+        return jnp.stack(
+            [
+                self.scalar_op.vmult_free(src[c], out_donate[c])
+                for c in range(self.n_components)
+            ]
+        )
+
     def pad_flat(self, u: jnp.ndarray) -> jnp.ndarray:
         if self._stacked is not None:
             return self._stacked.pad_flat(u)

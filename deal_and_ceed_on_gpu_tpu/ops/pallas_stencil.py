@@ -815,17 +815,38 @@ class StackedStencilOperator:
     def vmult_padded(self, u: jnp.ndarray) -> jnp.ndarray:
         L = self.layout
         p = L.p
+        shp = L.padded_shape
         out = _stencil_call(
             u, L.bz, L.by, L.bx, L.sz, L.syx, None,
             layout=L, interpret=self.interpret,
-        ).reshape(L.padded_shape)
-        # pad strips the output tiles never write, then the fused
-        # identity-face restore (dist_pallas epilogue, cast back to the
-        # streaming dtype)
-        u3 = u.reshape(L.padded_shape)
-        out = out.at[:p].set(0.0).at[p + L.nzb * L.BZ :].set(0.0)
-        out = out.at[:, :YOFF].set(0.0).at[:, YOFF + L.nyb * L.BY :].set(0.0)
-        return ((out + u3 * self._m3).astype(u.dtype)).reshape(-1)
+        ).reshape(shp)
+        # ONE fused epilogue pass: zero the pad strips the output tiles
+        # never write (iota-expression masks — an .at[].set() chain
+        # compiles to ~4 full passes, see constrained_vmult_padded) and
+        # restore the identity faces (out is 0 there via the S-zeroed
+        # tables), cast back to the streaming dtype
+        u3 = u.reshape(shp)
+        z = jax.lax.broadcasted_iota(jnp.int32, shp, 0)
+        y = jax.lax.broadcasted_iota(jnp.int32, shp, 1)
+        strip = (
+            (z < p) | (z >= p + L.nzb * L.BZ)
+            | (y < YOFF) | (y >= YOFF + L.nyb * L.BY)
+        )
+        out = jnp.where(strip, jnp.zeros((), u.dtype),
+                        (out + u3 * self._m3).astype(u.dtype))
+        return out.reshape(-1)
+
+    def vmult_free(self, u: jnp.ndarray, out_donate: jnp.ndarray):
+        """Donated-buffer bare-kernel apply (see
+        ``build_stencil_operator.vmult_free``): ``M A M`` on the stacked
+        layout with no strip/face epilogue — exact on vectors that are
+        zero on the constrained set and the dead strips (every CG vector
+        of an assembled-rhs solve)."""
+        L = self.layout
+        return _stencil_call(
+            u, L.bz, L.by, L.bx, L.sz, L.syx, None, out_donate,
+            layout=L, interpret=self.interpret,
+        )
 
     def __call__(self, u):
         return self.vmult_padded(u)
