@@ -75,3 +75,41 @@ def test_dist_adaptive_solve_matches_single(n_shards):
     assert int(info["n_iterations"]) == int(info_single["n_iterations"])
     x = part.from_shards(np.asarray(x_sh))
     np.testing.assert_allclose(x, np.asarray(x_single), rtol=1e-9, atol=1e-11)
+
+
+@pytest.mark.parametrize("n_shards", [2, 8])
+def test_dist_zz_estimator_matches_host(n_shards):
+    """The SPMD ZZ estimator (per-shard recovery over the SIGMA exchange,
+    parallel/dist_amr.py) reproduces the host estimator on a hanging-node
+    mesh to f64 psum-association noise, and — the contract that matters
+    for reproducible AMR — marks the IDENTICAL cell set."""
+    from deal_and_ceed_on_gpu_tpu.adaptive import (
+        estimate_gradient_recovery,
+        mark_doerfler,
+    )
+    from deal_and_ceed_on_gpu_tpu.parallel.dist_amr import (
+        estimate_gradient_recovery_dist,
+    )
+
+    space = _space(two_level=True)
+    assert space.hanging_mask_np.sum() > 0
+    op = AdaptivePoissonOperator(space)
+    part = AdaptivePartition(space, n_shards)
+
+    # a non-trivial conforming field: one plain CG solve of -lap u = f
+    b = assemble_rhs_adaptive(
+        space, lambda x: np.exp(-((x - 0.7) ** 2).sum(axis=-1) / 0.05)
+    )
+    x, _ = solve_cg_merged(op.vmult, jnp.asarray(b), SolverControl(300, 1e-12))
+
+    want = estimate_gradient_recovery(space, op, x)
+    got = estimate_gradient_recovery_dist(
+        part, part.to_shards(np.asarray(x)), dtype=jnp.float64
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-15)
+    # owner-interior cells: summation order identical -> bitwise equal
+    # (on this tiny mesh most cells touch a shard boundary, so only a
+    # fraction is fully interior; larger meshes trend to 1)
+    assert np.any(got == want)
+    for theta in (0.3, 0.6):
+        assert set(mark_doerfler(got, theta)) == set(mark_doerfler(want, theta))
