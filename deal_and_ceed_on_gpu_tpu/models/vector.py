@@ -30,26 +30,42 @@ class VectorOperator:
         self.n_components = n_components
         self.space = scalar_op.space
         self._stacked = None
-        if (
-            getattr(scalar_op, "backend", None) == "pallas"
-            and scalar_op.space.basis.collocation
-            and getattr(scalar_op._stencil, "_a", None) is None
-        ):
-            # gradient-only stencil operators (Poisson/BP6) get the
-            # component-in-z STACKED kernel: one launch for all
-            # components, saturating the kernel at 1/n_components the
-            # per-component size (ops/pallas_stencil.py)
+        st = getattr(scalar_op, "_stencil", None)
+        if getattr(scalar_op, "backend", None) == "pallas" and st is not None:
+            # every pallas scalar kernel has a component-in-z STACKED
+            # variant: one launch for all components, saturating the
+            # kernel at 1/n_components the per-component size.
+            #   GLL collocation (BP5/BP6, incl. the collocated Helmholtz
+            #   value term) -> StackedStencilOperator;
+            #   Gauss rules (BP1-BP4) -> StackedBandedOperator.
+            from ..ops.pallas_banded import (
+                StackedBandedOperator,
+                build_banded_operator,
+            )
             from ..ops.pallas_stencil import StackedStencilOperator
 
             space = scalar_op.space
-            self._stacked = StackedStencilOperator(
-                space.mesh,
-                space.basis,
-                space.dtype,
-                n_components=n_components,
-                interpret=scalar_op._stencil.interpret,
-                **getattr(scalar_op, "_pallas_opts", {}),
-            )
+            opts = dict(getattr(scalar_op, "_pallas_opts", {}))
+            if isinstance(st, build_banded_operator):
+                self._stacked = StackedBandedOperator(
+                    space.mesh,
+                    space.basis,
+                    space.dtype,
+                    kind=st.kind,
+                    n_components=n_components,
+                    interpret=st.interpret,
+                    **opts,
+                )
+            elif space.basis.collocation:
+                self._stacked = StackedStencilOperator(
+                    space.mesh,
+                    space.basis,
+                    space.dtype,
+                    n_components=n_components,
+                    interpret=st.interpret,
+                    value_coef=getattr(st, "_value_coef_np", None),
+                    **opts,
+                )
 
     def vmult(self, src: jnp.ndarray) -> jnp.ndarray:
         assert src.shape[0] == self.n_components

@@ -58,9 +58,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_stencil import YOFF, StencilLayout, _round_up
+from .pallas_stencil import (
+    YOFF,
+    StackedStencilOperator,
+    StencilLayout,
+    _round_up,
+)
 
-__all__ = ["BandedLayout", "build_banded_operator"]
+__all__ = ["BandedLayout", "StackedBandedOperator", "build_banded_operator"]
 
 
 class BandedLayout(StencilLayout):
@@ -585,6 +590,81 @@ class build_banded_operator:
             layout=self.layout,
             grad=self.kind == "stiffness",
             interpret=self.interpret,
+        )
+
+    def fold_scale(self, s: float) -> None:
+        self.layout.fold_bands(s)
+
+
+class StackedBandedOperator(StackedStencilOperator):
+    """Vector-valued BP2/BP4 (Gauss-rule mass/stiffness) in ONE banded
+    kernel launch: ``n_components`` z-stacked component slabs share the
+    y/x band tables, exactly like :class:`..pallas_stencil.
+    StackedStencilOperator` does for the collocated BP6 kernel. The
+    per-slab z band tables are zero between slabs (the per-axis Dirichlet
+    zeroing already ends every slab with zero rows/cols), so z taps never
+    couple components and whole vector solves run in the stacked layout.
+
+    The reference runs its scalar cell kernel per component on vector
+    BPs (shared metric terms, SURVEY.md section 7 step 7); stacking is
+    the TPU answer — one saturated grid instead of ``n_components``
+    sub-saturated launches (the BP6 stacked kernel measured 2.2-2.3x,
+    RESULTS.md)."""
+
+    def __init__(self, mesh, basis, dtype, kind="stiffness",
+                 n_components=3, value_const=None, interpret=False, **opts):
+        base = BandedLayout(
+            mesh, basis, dtype, kind=kind, value_const=value_const, **opts
+        )
+        zt3 = self._init_stacked(base, n_components, interpret)
+        self.kind = kind
+        nc, Sz = self.n_components, self.Sz
+        zt, yt, nxp = base.padded_shape
+
+        def tile_z(tab_np):
+            """[zt, 2p+1] z band table -> per-slab tiling [zt3, 2p+1]
+            (rows beyond p+nz are zero, so slab-window overlap adds
+            zeros only)."""
+            out = np.zeros((zt3, tab_np.shape[1]), tab_np.dtype)
+            for k in range(nc):
+                out[k * Sz : k * Sz + zt] += tab_np
+            return jnp.asarray(out, base.dtype)
+
+        import copy
+
+        L = copy.copy(base)
+        L.bzG = tile_z(np.asarray(base.bzG))
+        if kind == "stiffness":
+            L.bzM = tile_z(np.asarray(base.bzM))
+        # private x copies so fold_bands cannot alias a scalar operator
+        L.bxM = base.bxM * jnp.ones((), base.bxM.dtype)
+        if kind == "stiffness":
+            L.bxA = base.bxA * jnp.ones((), base.bxA.dtype)
+        L.padded_shape = (zt3, yt, nxp)
+        L.nzb = nc * base.nzb
+        L.n = zt3 * yt * nxp
+        self.layout = L
+
+    def _tables(self):
+        L = self.layout
+        if self.kind == "stiffness":
+            return (L.bxA, L.bxM, L.byA, L.byM, L.bzM, L.bzG)
+        return (L.bxM, L.byM, L.bzG)
+
+    def vmult_padded(self, u: jnp.ndarray) -> jnp.ndarray:
+        out = _banded_call(
+            u, self._tables(), layout=self.layout,
+            grad=self.kind == "stiffness", interpret=self.interpret,
+        ).reshape(self.layout.padded_shape)
+        return self._stacked_epilogue(out, u)
+
+    def vmult_free(self, u: jnp.ndarray, out_donate: jnp.ndarray):
+        """Donated-buffer bare-kernel apply — ``M A M`` on the stacked
+        layout, exact on vectors zero on the constrained set and dead
+        strips (see ``build_banded_operator.vmult_free``)."""
+        return _banded_call(
+            u, self._tables(), out_donate, layout=self.layout,
+            grad=self.kind == "stiffness", interpret=self.interpret,
         )
 
     def fold_scale(self, s: float) -> None:

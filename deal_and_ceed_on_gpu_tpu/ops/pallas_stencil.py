@@ -725,16 +725,10 @@ class StackedStencilOperator:
 
     def __init__(self, mesh, basis, dtype, n_components=3, interpret=False,
                  value_coef=None, **opts):
-        assert value_coef is None, "stacked kernel: gradient terms only"
         base = StencilLayout(mesh, basis, dtype, **opts)
-        self.base = base
-        self.n_components = nc = n_components
-        self.interpret = interpret
-        p = base.p
+        zt3 = self._init_stacked(base, n_components, interpret)
+        nc, Sz, p = self.n_components, self.Sz, base.p
         zt, yt, nxp = base.padded_shape
-        Sz = base.nzb * base.BZ  # tile-aligned slab stride (>= p + nz)
-        self.Sz = Sz
-        zt3 = nc * Sz + 2 * p
 
         # stacked z tables: the scalar band/scale vectors placed at each
         # slab offset (rows beyond p+nz are zero in the scalar tables, so
@@ -760,8 +754,33 @@ class StackedStencilOperator:
         L.n = zt3 * yt * nxp
         self.layout = L
 
-        # identity-row indicator (Dirichlet faces; dead rows are zero in
-        # both u and out, so marking only the real faces suffices)
+        # optional collocated value term (vector Helmholtz): the scalar
+        # OUTPUT-TILE-aligned coefficient field has exactly Sz = nzb*BZ
+        # rows, so the stacked field is a clean per-slab tiling (slab-gap
+        # rows never exist in output-tile coordinates)
+        if value_coef is None:
+            self._a = None
+        else:
+            a_np = np.asarray(base.pad_node_field(value_coef))
+            self._a = jnp.asarray(
+                np.tile(a_np, (nc, 1, 1)), base.dtype
+            )
+
+    def _init_stacked(self, base, n_components, interpret):
+        """Shared stacked-layout geometry: slab stride, total z extent,
+        and the identity-row indicator (Dirichlet faces per component
+        slab; dead rows are zero in both u and out, so marking only the
+        real faces suffices). Used by this class and the banded stacked
+        operator (ops/pallas_banded.py)."""
+        self.base = base
+        self.n_components = nc = n_components
+        self.interpret = interpret
+        p = base.p
+        zt, yt, nxp = base.padded_shape
+        Sz = base.nzb * base.BZ  # tile-aligned slab stride (>= p + nz)
+        self.Sz = Sz
+        zt3 = nc * Sz + 2 * p
+
         nz, ny, nx = base.real_shape
         mz1 = np.zeros(zt3)
         for k in range(nc):
@@ -781,6 +800,7 @@ class StackedStencilOperator:
                 jnp.asarray(mx1, dt)[None, None, :],
             )
         )
+        return zt3
 
     # ------------------------- vector transfer ------------------------- #
     def pad_flat(self, u: jnp.ndarray) -> jnp.ndarray:
@@ -817,14 +837,21 @@ class StackedStencilOperator:
         p = L.p
         shp = L.padded_shape
         out = _stencil_call(
-            u, L.bz, L.by, L.bx, L.sz, L.syx, None,
+            u, L.bz, L.by, L.bx, L.sz, L.syx, self._a,
             layout=L, interpret=self.interpret,
         ).reshape(shp)
-        # ONE fused epilogue pass: zero the pad strips the output tiles
-        # never write (iota-expression masks — an .at[].set() chain
-        # compiles to ~4 full passes, see constrained_vmult_padded) and
-        # restore the identity faces (out is 0 there via the S-zeroed
-        # tables), cast back to the streaming dtype
+        return self._stacked_epilogue(out, u)
+
+    def _stacked_epilogue(self, out, u):
+        """ONE fused epilogue pass: zero the pad strips the output tiles
+        never write (iota-expression masks — an .at[].set() chain
+        compiles to ~4 full passes, see constrained_vmult_padded) and
+        restore the identity faces (out is 0 there via the S-zeroed
+        tables), cast back to the streaming dtype. Shared with the
+        banded stacked operator."""
+        L = self.layout
+        p = L.p
+        shp = L.padded_shape
         u3 = u.reshape(shp)
         z = jax.lax.broadcasted_iota(jnp.int32, shp, 0)
         y = jax.lax.broadcasted_iota(jnp.int32, shp, 1)
@@ -844,7 +871,7 @@ class StackedStencilOperator:
         of an assembled-rhs solve)."""
         L = self.layout
         return _stencil_call(
-            u, L.bz, L.by, L.bx, L.sz, L.syx, None, out_donate,
+            u, L.bz, L.by, L.bx, L.sz, L.syx, self._a, out_donate,
             layout=L, interpret=self.interpret,
         )
 
@@ -854,6 +881,8 @@ class StackedStencilOperator:
     def fold_scale(self, s: float) -> None:
         L = self.layout
         L.bz, L.by, L.bx = L.bz * s, L.by * s, L.bx * s
+        if self._a is not None:
+            self._a = self._a * s
 
 
 class build_stencil_operator:
@@ -873,6 +902,9 @@ class build_stencil_operator:
             phys_elems=phys_elems, faces=faces, stream_dtype=stream_dtype,
         )
         self.interpret = interpret
+        # raw field kept for the stacked (vector) wrapper, which re-pads
+        # it per component slab (models/vector.py)
+        self._value_coef_np = value_coef
         self._a = (
             None if value_coef is None
             else self.layout.pad_node_field(value_coef)

@@ -123,3 +123,55 @@ def test_banded_fold_scale_and_auto_opts():
     np.testing.assert_allclose(
         np.asarray(after), 2.5 * np.asarray(before), rtol=1e-13, atol=1e-13
     )
+
+
+@pytest.mark.parametrize("bp", ["bp2", "bp4"])
+def test_stacked_banded_vector_bp(bp):
+    """BP2/BP4 (vector mass/stiffness, Gauss q=p+2) ride ONE stacked
+    banded kernel launch: vmult on global [3, n] vectors matches the
+    per-component separable oracle, and a padded-layout merged-CG solve
+    matches the oracle solve."""
+    from deal_and_ceed_on_gpu_tpu.models import assemble_rhs, make_bp_operator
+    from deal_and_ceed_on_gpu_tpu.models.vector import VectorOperator
+    from deal_and_ceed_on_gpu_tpu.ops.pallas_banded import (
+        StackedBandedOperator,
+    )
+    from deal_and_ceed_on_gpu_tpu.solvers import (
+        IterationNumberControl,
+        solve_cg_merged,
+    )
+
+    mesh = BrickMesh((3, 4, 5))
+    _, op_ref = make_bp_operator(bp, mesh, 3, dtype=jnp.float64)
+    space, vop = make_bp_operator(bp, mesh, 3, dtype=jnp.float64,
+                                  backend="pallas")
+    assert isinstance(vop._stacked, StackedBandedOperator)
+    vop._stacked.interpret = True
+    vop.scalar_op._stencil.interpret = True
+
+    u = jnp.asarray(
+        np.random.default_rng(4).standard_normal((3, space.n_dofs))
+    )
+    want = np.asarray(op_ref.vmult(u))
+    up = vop.pad_flat(u)
+    got = np.asarray(vop.unpad_flat(vop.vmult_padded(up)))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+    b = jnp.stack([assemble_rhs(space, float(c + 1)) for c in range(3)])
+    # both solves run to 1e-12: the two operators are bitwise-different
+    # f64 evaluations, so mid-flight iterates diverge at ~1e-7 — only the
+    # CONVERGED solutions are comparable
+    ctl = IterationNumberControl(120, 1e-12 * float(jnp.linalg.norm(b)))
+    x_ref, _ = solve_cg_merged(op_ref.vmult, b, ctl)
+    xp, _ = solve_cg_merged(vop.vmult_padded, vop.pad_flat(b), ctl)
+    np.testing.assert_allclose(
+        np.asarray(vop.unpad_flat(xp)), np.asarray(x_ref), rtol=1e-9,
+        atol=1e-10 * float(jnp.linalg.norm(x_ref)),
+    )
+
+    # fold_scale scales all Kronecker terms exactly once
+    before = np.asarray(vop.vmult_padded(up))
+    vop._stacked.fold_scale(2.0)
+    after = np.asarray(vop.vmult_padded(up))
+    free = before != 0
+    np.testing.assert_allclose(after[free] / before[free], 2.0, rtol=1e-13)

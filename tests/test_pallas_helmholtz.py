@@ -74,3 +74,40 @@ def test_pallas_helmholtz_rejects_gauss_rule():
     space = FESpace.create(mesh, 2, rule="gauss", dtype=jnp.float64)
     with pytest.raises(ValueError, match="collocation"):
         HelmholtzOperator(space, backend="pallas")
+
+
+def test_stacked_helmholtz_vector_value_term():
+    """Vector Helmholtz at GLL collocation: the stacked stencil kernel
+    now carries the collocated value term (one a(x) tile per slab), so
+    all 3 components ride ONE launch and match the per-component
+    structured oracle."""
+    from deal_and_ceed_on_gpu_tpu.models.vector import VectorOperator
+    from deal_and_ceed_on_gpu_tpu.ops.pallas_stencil import (
+        StackedStencilOperator,
+    )
+
+    mesh = BrickMesh((2, 3, 4))
+    p = 3
+    space = FESpace.create(mesh, p, rule="gauss_lobatto", dtype=jnp.float64)
+    ref = VectorOperator(HelmholtzOperator(space, backend="structured"), 3)
+    sop = HelmholtzOperator(space, backend="pallas")
+    sop._stencil.interpret = True
+    vop = VectorOperator(sop, 3)
+    assert isinstance(vop._stacked, StackedStencilOperator)
+    assert vop._stacked._a is not None
+
+    u = jnp.asarray(
+        np.random.default_rng(11).standard_normal((3, space.n_dofs))
+    )
+    want = np.asarray(ref.vmult(u))
+    got = np.asarray(vop.unpad_flat(vop.vmult_padded(vop.pad_flat(u))))
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() < 1e-11 * scale
+
+    # fold_scale reaches the stacked value tile too
+    up = vop.pad_flat(u)
+    before = np.asarray(vop.vmult_padded(up))
+    vop.fold_scale(3.0)
+    after = np.asarray(vop.vmult_padded(up))
+    free = before != 0
+    np.testing.assert_allclose(after[free] / before[free], 3.0, rtol=1e-12)
