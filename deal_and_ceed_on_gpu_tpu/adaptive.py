@@ -477,11 +477,20 @@ class AdaptivePoissonOperator:
     """Matrix-free Poisson vmult on an adaptive space (gather backend):
 
         zero constrained -> distribute (hanging interpolation) -> gather
-        -> sum-factorized cell apply (per-cell diagonal Jacobians)
+        -> per-cell apply (per-cell diagonal Jacobians)
         -> scatter-add -> condense (transpose) -> identity on constrained
+
+    ``backend``: "xla" (sum-factorized einsum cell apply), "pallas" (the
+    fused :class:`~.ops.pallas_general.GeneralCellKernel` — the
+    heterogeneous active cells batch through one MXU kernel launch; the
+    hanging-node interpolation stays in the gather/scatter epilogue where
+    the reference folds it into its hot kernel,
+    ``bp5/fe_evaluation_gl.h:150-151``), or "auto" (pallas on TPU for
+    f32/bf16 spaces, xla otherwise — Mosaic kernels have no f64).
     """
 
-    def __init__(self, space: AdaptiveSpace):
+    def __init__(self, space: AdaptiveSpace, backend: str = "auto",
+                 pallas_opts=None):
         self.space = space
         b = space.basis
         self.S = jnp.asarray(b.S, dtype=space.dtype)
@@ -496,10 +505,48 @@ class AdaptivePoissonOperator:
             for d in range(3)
         )
         self._jxw = jnp.asarray(det[:, None, None, None] * w3, dtype=space.dtype)
+        self._md = md
+        if backend == "auto":
+            backend = (
+                "pallas"
+                if jax.default_backend() == "tpu"
+                and jnp.dtype(space.dtype) != jnp.float64
+                else "xla"
+            )
+        if backend not in ("xla", "pallas", "pallas_general"):
+            raise ValueError(f"unknown adaptive backend {backend!r}")
+        self.backend = "xla" if backend == "xla" else "pallas"
+        self._pallas_opts = dict(pallas_opts or {})
+        self._kernel = None
+
+    def _val_table(self):
+        """``("table", a_jxw[E, Q])`` for the kernel's value term, or
+        ``None`` (pure Poisson). Subclasses with a mass/value term
+        override."""
+        return None
+
+    def _get_kernel(self):
+        if self._kernel is None:
+            from .ops.pallas_general import GeneralCellKernel
+
+            s = self.space
+            w = np.asarray(s.basis.q_weights)
+            w3 = (w[:, None, None] * w[None, :, None] * w[None, None, :])
+            C = self._md[:, None, :] * w3.reshape(1, -1, 1)  # [E, Q, 3]
+            self._kernel = GeneralCellKernel(
+                s.basis, s.mesh.n_cells, s.dtype,
+                grad=("diag3", C), val=self._val_table(),
+                **self._pallas_opts,
+            )
+        return self._kernel
 
     def apply_cell_loop(self, u: jnp.ndarray) -> jnp.ndarray:
         s = self.space
         ul = lg.gather_indexed(u, s.elem_dof_map, s.degree)
+        if self.backend == "pallas":
+            k = self._get_kernel()
+            wl = k.apply_local(ul.reshape(k._E, k._N)).reshape(ul.shape)
+            return lg.scatter_indexed_sorted(wl, s.scatter_plan, s.n_dofs)
         _, grads = sf.evaluate(ul, self.S, self.D, (1, 2, 3), False, True, True)
         gx, gy, gz = grads
         cx, cy, cz = self._cw
@@ -529,8 +576,9 @@ class AdaptiveHelmholtzOperator(AdaptivePoissonOperator):
     active cell; with S == I the value term is one in-place FMA at the
     quadrature stage."""
 
-    def __init__(self, space: AdaptiveSpace, a=None):
-        super().__init__(space)
+    def __init__(self, space: AdaptiveSpace, a=None, backend: str = "auto",
+                 pallas_opts=None):
+        super().__init__(space, backend=backend, pallas_opts=pallas_opts)
         if a is None:
             from .models.helmholtz import default_coefficient
 
@@ -538,7 +586,13 @@ class AdaptiveHelmholtzOperator(AdaptivePoissonOperator):
         aq = np.asarray(a(_cell_qpoints(space)), dtype=np.float64)
         self._aq_jxw = jnp.asarray(aq, dtype=space.dtype) * self._jxw
 
+    def _val_table(self):
+        E = self.space.mesh.n_cells
+        return ("table", np.asarray(self._aq_jxw).reshape(E, -1))
+
     def apply_cell_loop(self, u: jnp.ndarray) -> jnp.ndarray:
+        if self.backend == "pallas":
+            return super().apply_cell_loop(u)
         s = self.space
         ul = lg.gather_indexed(u, s.elem_dof_map, s.degree)
         vals, grads = sf.evaluate(ul, self.S, self.D, (1, 2, 3), True, True, True)

@@ -49,7 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..basis import basis_tables_3d
 from . import local_global as lg
 
-__all__ = ["build_general_operator"]
+__all__ = ["GeneralCellKernel", "build_general_operator"]
 
 
 def _round_up(x, m):
@@ -203,24 +203,34 @@ def _gen_call(u_local, tabs, streamed, *, shapes, grad_kind, val_kind,
     return out[:E]
 
 
-class build_general_operator:
-    """Callable cell loop: flat nodal ``u`` -> flat ``A_cell_loop(u)``.
+class GeneralCellKernel:
+    """The fused evaluate/integrate kernel on EXPLICIT local cell vectors
+    ``[E, (p+1)^3]`` — no mesh, no local<->global transfer. This is the
+    device cell-apply for callers that own their own gather/scatter:
+    the adaptive (hanging-node) operators batch their heterogeneous
+    active cells through it (the reference resolves hanging nodes inside
+    its hot kernel, ``bp5/fe_evaluation_gl.h:150-151``; here the
+    constraint interpolation stays in the XLA gather/scatter epilogue
+    and the per-cell FLOPs ride the MXU).
 
     Parameters
     ----------
-    space: FESpace (any rule/geometry).
+    basis: Basis1D (any rule; tables are densified to ``[(p+1)^3, q^3]``).
+    n_cells: number of cells E (the kernel grid is over E-blocks).
+    dtype: compute dtype of the local vectors.
     grad: None | ("const", (cx, cy, cz)) | ("diag3", C[E, n_q, 3])
           | ("full6", C[E, n_q, 6]) — merged gradient coefficients
           (JxW-included for the streamed modes, unit-weight scalars for
           "const", matching the structured backend's conventions).
     val:  None | ("const", c_times_det) | ("table", a_jxw[E, n_q]).
+    w3d:  flat ``[q^3]`` reference quadrature weights (defaults to the
+          tensor product of ``basis.q_weights``).
     block_e: elements per kernel block (the matmul M tile).
     """
 
-    def __init__(self, space, grad=None, val=None, block_e=1024,
-                 interpret=False, precision="highest",
-                 vmem_limit_bytes=64 << 20):
-        self.space = space
+    def __init__(self, basis, n_cells, dtype, grad=None, val=None,
+                 w3d=None, block_e=1024, interpret=False,
+                 precision="highest", vmem_limit_bytes=64 << 20):
         self.interpret = interpret
         # Mosaic's scoped-VMEM accounting sums temporaries conservatively;
         # the raised limit unlocks the larger element blocks the MXU wants
@@ -240,16 +250,18 @@ class build_general_operator:
             }[precision]
         else:
             self.precision = precision
-        if jnp.dtype(space.dtype) == jnp.float64 and self.precision == "split3":
+        if jnp.dtype(dtype) == jnp.float64 and self.precision == "split3":
             self.precision = jax.lax.Precision.HIGHEST  # f64 stays exact
-        basis = space.basis
-        dt = space.dtype
+        dt = jnp.dtype(dtype)
         N, Q = basis.n_dofs**3, basis.n_q**3
-        E = space.mesh.n_cells
+        E = n_cells
         self._E, self._N, self._Q = E, N, Q
         self._BE = min(block_e, _round_up(E, 8))
         V, G = basis_tables_3d(basis)
-        w3d = np.asarray(space.geometry.w3d).reshape(-1)  # [Q]
+        if w3d is None:
+            w = np.asarray(basis.q_weights)
+            w3d = (w[:, None, None] * w[None, :, None] * w[None, None, :])
+        w3d = np.asarray(w3d).reshape(-1)  # [Q]
 
         self.grad_kind = 0
         self.val_kind = 0
@@ -296,7 +308,20 @@ class build_general_operator:
             raise ValueError("need at least one of grad/val")
         self._tabs = tabs
         self._streamed = streamed
-        self._dof_map = space.elem_dof_map
+
+    def apply_local(self, ul: jnp.ndarray) -> jnp.ndarray:
+        """Per-cell apply on local vectors: ``[E, (p+1)^3]`` -> same."""
+        return _gen_call(
+            ul,
+            self._tabs,
+            self._streamed,
+            shapes=(self._E, self._N, self._Q, self._BE),
+            grad_kind=self.grad_kind,
+            val_kind=self.val_kind,
+            interpret=self.interpret,
+            precision=self.precision,
+            vmem_limit_bytes=self.vmem_limit_bytes,
+        )
 
     def fold_scale(self, s: float) -> None:
         t, st = self._tabs, self._streamed
@@ -308,6 +333,25 @@ class build_general_operator:
             t["vw"] = t["vw"] * s
         elif self.val_kind:
             st["av"] = st["av"] * s
+
+class build_general_operator(GeneralCellKernel):
+    """Callable cell loop on a structured FESpace: flat nodal ``u`` ->
+    flat ``A_cell_loop(u)`` — :class:`GeneralCellKernel` wrapped in the
+    index-free structured local<->global transfer.
+
+    Parameters: ``space`` (FESpace, any rule/geometry) + the kernel's
+    ``grad``/``val``/``block_e``/``interpret``/``precision``/
+    ``vmem_limit_bytes`` (see :class:`GeneralCellKernel`).
+    """
+
+    def __init__(self, space, grad=None, val=None, **kw):
+        super().__init__(
+            space.basis, space.mesh.n_cells, space.dtype,
+            grad=grad, val=val,
+            w3d=np.asarray(space.geometry.w3d).reshape(-1), **kw,
+        )
+        self.space = space
+        self._dof_map = space.elem_dof_map
 
     def __call__(self, u_flat: jnp.ndarray) -> jnp.ndarray:
         space = self.space
@@ -323,16 +367,6 @@ class build_general_operator:
             u_flat.reshape(space.grid_shape), space.mesh.n_elements, p
         )  # [mz, p1, my, p1, mx, p1]
         ul = ul.transpose(0, 2, 4, 1, 3, 5).reshape(self._E, self._N)
-        wl = _gen_call(
-            ul,
-            self._tabs,
-            self._streamed,
-            shapes=(self._E, self._N, self._Q, self._BE),
-            grad_kind=self.grad_kind,
-            val_kind=self.val_kind,
-            interpret=self.interpret,
-            precision=self.precision,
-            vmem_limit_bytes=self.vmem_limit_bytes,
-        )
+        wl = self.apply_local(ul)
         w6 = wl.reshape(mz, my, mx, p1, p1, p1).transpose(0, 3, 1, 4, 2, 5)
         return lg.scatter_structured(w6, p).reshape(-1)

@@ -45,16 +45,26 @@ for cycle in CYCLES:
             u0 = L.pad_flat(u0 / jnp.linalg.norm(u0))
             control = IterationNumberControl(N_IT, 0.0)
             dd = jnp.float32 if extra else None
-            solver = jax.jit(
-                lambda b: solve_cg_merged(
-                    op.vmult_padded, b, control, dot_dtype=dd
-                )[0]
+            # donated bare-kernel applies (A_donate), as bench.py ships;
+            # the returned scalar is fetched to host — block_until_ready
+            # does not reliably block through the axon tunnel
+            b0 = L.pad_flat(
+                space.zero_constrained_values(L.unpad_flat(u0))
             )
-            jax.block_until_ready(solver(u0))
+            solver = jax.jit(
+                lambda b: (
+                    lambda x, info: jnp.sum(x.astype(jnp.float32))
+                    + info["res_norm"]
+                )(*solve_cg_merged(
+                    op.vmult_padded, b, control, dot_dtype=dd,
+                    A_donate=op.vmult_free,
+                ))
+            )
+            float(solver(b0))
             best_cg = 0.0
             for _ in range(REPS):
                 t0 = time.perf_counter()
-                jax.block_until_ready(solver(u0))
+                float(solver(b0))
                 best_cg = max(best_cg, n * N_IT / (time.perf_counter() - t0))
             v = jax.block_until_ready(jax.jit(op.vmult_padded)(u0))
             op.fold_scale(
@@ -73,7 +83,7 @@ for cycle in CYCLES:
             line.append(
                 f"{tag} cg {best_cg / 1e9:.2f} vmult {best / 1e9:.2f}"
             )
-            del op, solver, vm, chain, u0, v
+            del op, solver, vm, chain, u0, b0, v
         except Exception as e:  # Mosaic flake / OOM: keep sweeping
             line.append(f"{tag} FAILED {str(e)[:80]}")
     print("  ".join(line), flush=True)
