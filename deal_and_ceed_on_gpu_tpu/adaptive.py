@@ -485,8 +485,9 @@ class AdaptivePoissonOperator:
     heterogeneous active cells batch through one MXU kernel launch; the
     hanging-node interpolation stays in the gather/scatter epilogue where
     the reference folds it into its hot kernel,
-    ``bp5/fe_evaluation_gl.h:150-151``), or "auto" (pallas on TPU for
-    f32/bf16 spaces, xla otherwise — Mosaic kernels have no f64).
+    ``bp5/fe_evaluation_gl.h:150-151``; "pallas_general" is an accepted
+    alias), or "auto" (pallas on TPU for f32/bf16 spaces, xla otherwise —
+    Mosaic kernels have no f64).
     """
 
     def __init__(self, space: AdaptiveSpace, backend: str = "auto",
@@ -500,12 +501,10 @@ class AdaptivePoissonOperator:
         md = np.stack([det / h[:, 0] ** 2, det / h[:, 1] ** 2, det / h[:, 2] ** 2], -1)
         w = b.q_weights
         w3 = (w[:, None, None] * w[None, :, None] * w[None, None, :])[None]
-        self._cw = tuple(
-            jnp.asarray(md[:, d, None, None, None] * w3, dtype=space.dtype)
-            for d in range(3)
-        )
         self._jxw = jnp.asarray(det[:, None, None, None] * w3, dtype=space.dtype)
         self._md = md
+        self._w3_np = w3
+        self._cw_cache = None
         if backend == "auto":
             backend = (
                 "pallas"
@@ -518,6 +517,26 @@ class AdaptivePoissonOperator:
         self.backend = "xla" if backend == "xla" else "pallas"
         self._pallas_opts = dict(pallas_opts or {})
         self._kernel = None
+
+    @property
+    def _cw(self):
+        """XLA-path gradient coefficient tables (three ``[E, q, q, q]``
+        device arrays), built lazily: the pallas backend streams its own
+        padded copy through the kernel and never reads these — eager
+        construction would double the gradient-coefficient HBM on large
+        adaptive spaces (ADVICE r4)."""
+        if self._cw_cache is None:
+            # concrete arrays even when first touched inside a jit trace
+            # (a traced constant cached here would leak the tracer)
+            with jax.ensure_compile_time_eval():
+                self._cw_cache = tuple(
+                    jnp.asarray(
+                        self._md[:, d, None, None, None] * self._w3_np,
+                        dtype=self.space.dtype,
+                    )
+                    for d in range(3)
+                )
+        return self._cw_cache
 
     def _val_table(self):
         """``("table", a_jxw[E, Q])`` for the kernel's value term, or

@@ -281,6 +281,47 @@ def run_cycle(cycle: int, cfg: BP5Config):
         )
         solution = unpack(x)
 
+    if "pcg-fused" in cfg.modes:
+        # the ENTIRE CG iteration — update_a + vmult + the dot products —
+        # in ONE Pallas pass (ops/pallas_cg.py, the TPU form of the
+        # reference's SolverCGFullMerge custom kernels bp5/solver.h:48-311).
+        # Wired as an explicit mode for measurement: on the v5e dev chip
+        # the donated XLA path (pcg-merged + A_donate) is FASTER (cycle 33:
+        # f32 5.4 vs 3.4, bf16 10.2 vs 5.1 GDoF/s — Pallas DMA streams at
+        # ~half XLA's rate here), so pcg-merged stays the default; see
+        # RESULTS.md "fully-fused CG iteration kernel".
+        if eff_backend != "pallas" or dtype != jnp.float32:
+            pcout(
+                "pcg-fused requires --backend pallas --dtype float32 — "
+                "skipping"
+            )
+        else:
+            from ..ops.pallas_cg import CGFusedStep
+            from ..solvers import solve_cg_fused
+
+            # the fused kernel carries FOUR sliding windows: it needs its
+            # own tile selection (stencil tiles overflow scoped VMEM) and
+            # an operator instance whose layout padding matches
+            fopts = CGFusedStep.auto_opts(
+                mesh, cfg.degree, dtype, stream_dtype=cfg.stream_dtype
+            )
+            fop = PoissonOperator(space, backend="pallas", pallas_opts=fopts)
+            bf = jax.block_until_ready(fop.layout.pad_flat(b))
+            f = jax.jit(lambda b: solve_cg_fused(fop, b, control))
+            x, info = f(bf)
+            jax.block_until_ready(x)
+            times, iters = [], []
+            for _ in range(cfg.n_repetitions):
+                t = Timer().start()
+                x, info = f(bf)
+                t.stop(fence=(x, info["res_norm"]))
+                times.append(t.elapsed)
+                iters.append(int(info["n_iterations"]))
+            results["pcg-fused"] = _throughput_lines(
+                "pcg-fused", space.n_dofs, times, iters
+            )
+            solution = fop.layout.unpad_flat(x).astype(space.dtype)
+
     if "fdm-direct" in cfg.modes:
         # beyond the reference: the Kronecker fast-diagonalization DIRECT
         # solve (solvers/fdm.py) — one apply replaces the whole CG loop.

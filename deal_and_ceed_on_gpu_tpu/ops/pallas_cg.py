@@ -264,6 +264,67 @@ class CGFusedStep:
     global Dirichlet); identity-diagonal preconditioner (as both reference
     drivers use, ``bp5/step-64.cu:428-432``)."""
 
+    @staticmethod
+    def auto_opts(mesh, degree, dtype=jnp.float32, stream_dtype=None,
+                  has_value=False, vmem_budget=88 << 20):
+        """Tile selection under the FUSED kernel's VMEM footprint.
+
+        The stencil kernel's ``StencilLayout.auto_opts`` sizes tiles for
+        ONE sliding window; the fused CG kernel carries FOUR (scaled d,
+        g, raw d, x) plus stacked 4-plane input groups and output tiles,
+        so stencil-tuned tiles overflow scoped VMEM at BP5 sweep shapes
+        (measured: cycle 33 f32 wants 107.75M against the 100M scope).
+        Same DMA-traffic proxy (all four vectors move together, so the
+        relative ranking is unchanged); returns ``pallas_opts`` for the
+        operator whose ``fused_cg_step`` will run."""
+        from .pallas_stencil import _round_up as _ru
+
+        p = degree
+        mx, my, mz = mesh.n_elements
+        nx, ny, nz = mx * p + 1, my * p + 1, mz * p + 1
+        nxp = _ru(nx, 128)
+        ny_eff = _ru(ny, 8)
+        i_c = 4  # the scaled window is always f32
+        i_s = jnp.dtype(stream_dtype or dtype).itemsize
+        best = None
+        for BZ in (16, 24, 32):
+            if BZ < 2 * p:
+                continue
+            nzb = -(-(nz + p) // BZ)
+            zt = nzb * BZ + 2 * p
+            WZ = BZ + 2 * p
+            for BY in range(16, max(min(ny_eff, 160), 16) + 1, 8):
+                BY = min(BY, ny_eff)
+                WY = BY + 2 * YOFF
+                nyb = -(-(ny + YOFF) // BY)
+                yt = nyb * BY + 2 * YOFF
+                SY = next(
+                    (s for s in range(min(BY, 32), 0, -1)
+                     if BY % s == 0 and s % 8 == 0), None,
+                )
+                if SY is None:
+                    continue
+                vmem = nxp * (
+                    WZ * WY * (i_c + 3 * i_s)     # win + win_g/draw/x
+                    + 2 * 4 * BZ * WY * i_s       # gin (stacked groups)
+                    + 4 * 2 * p * WY * i_s        # fil
+                    + 2 * 4 * BZ * BY * i_s       # ob (stacked tiles)
+                    + (2 * p + 4) * BZ * SY * i_c  # tap/roll temporaries
+                    + (BZ * BY * i_c if has_value else 0)  # a tile
+                )
+                if vmem > vmem_budget:
+                    continue
+                proxy = zt * yt * (1.0 + WY / BY)
+                key = (proxy, -SY, BZ, BY)
+                if best is None or key < best[0]:
+                    best = (key, BZ, BY)
+        opts = dict(vmem_limit_bytes=100 << 20)
+        if best is not None:
+            opts.update(block_z=best[1], block_y=best[2])
+        if stream_dtype is not None:
+            opts["stream_dtype"] = stream_dtype
+        return opts
+
     def __init__(self, stencil, interpret: bool = False):
         L: StencilLayout = stencil.layout
         assert L.dtype == jnp.float32, "fused CG kernel: f32 compute only"

@@ -66,34 +66,48 @@ for rounds in ROUNDS:
     )
     b = assemble_rhs_adaptive(space, 1.0)
 
-    # f32 chained-vmult throughput (the VERDICT r3 item-3 metric)
+    # f32 chained-vmult throughput (the VERDICT r3 item-3 metric), BOTH
+    # backends: "xla" (einsum cell apply) and "pallas" (GeneralCellKernel
+    # cell apply — first Mosaic compile of the adaptive diag3 shapes, the
+    # on-silicon coverage ADVICE r4 asked for). Parity-checked on chip.
     s32v = AdaptiveSpace(mesh, 2, dtype=jnp.float32)
-    op32v = AdaptivePoissonOperator(s32v)
     u = jnp.asarray(
         np.random.default_rng(0).standard_normal(n), jnp.float32
     )
     u = u / jnp.linalg.norm(u)
-    v = jax.block_until_ready(op32v.vmult(u))
-    nrm = float(jnp.linalg.norm(v))
-
     N_AP = 50
+    outs = {}
+    for bk in ("xla", "pallas"):
+        try:
+            op32v = AdaptivePoissonOperator(s32v, backend=bk)
+            v = jax.block_until_ready(op32v.vmult(u))
+            outs[bk] = np.asarray(v)
+            nrm = float(jnp.linalg.norm(v))
 
-    @jax.jit
-    def chain(x):
-        return jax.lax.fori_loop(
-            0, N_AP, lambda i, x: op32v.vmult(x) / nrm, x
-        )
+            @jax.jit
+            def chain(x, op32v=op32v, nrm=nrm):
+                return jax.lax.fori_loop(
+                    0, N_AP, lambda i, x: op32v.vmult(x) / nrm, x
+                )
 
-    jax.block_until_ready(chain(u))
-    best = 1e9
-    for _ in range(3):
-        t0 = time.perf_counter()
-        jax.block_until_ready(chain(u))
-        best = min(best, (time.perf_counter() - t0) / N_AP)
-    print(
-        f"  f32 vmult : {best*1e3:.3f} ms/apply -> {n/best/1e9:.2f} GDoF/s",
-        flush=True,
-    )
+            jax.block_until_ready(chain(u))
+            best = 1e9
+            for _ in range(3):
+                t0 = time.perf_counter()
+                jax.block_until_ready(chain(u))
+                best = min(best, (time.perf_counter() - t0) / N_AP)
+            print(
+                f"  f32 vmult [{bk:6s}]: {best*1e3:.3f} ms/apply -> "
+                f"{n/best/1e9:.2f} GDoF/s",
+                flush=True,
+            )
+        except Exception as e:
+            print(f"  f32 vmult [{bk:6s}]: FAILED {type(e).__name__}: "
+                  f"{str(e)[:160]}", flush=True)
+    if len(outs) == 2:
+        err = np.abs(outs["xla"] - outs["pallas"]).max()
+        scale = np.abs(outs["xla"]).max()
+        print(f"  xla/pallas parity: max rel err {err/scale:.2e}", flush=True)
 
     # f64 MG-CG (the CPU table's configuration)
     t0 = time.perf_counter()

@@ -227,7 +227,13 @@ def test_refined_everything_matches_uniform():
 def test_adaptive_pallas_kernel_matches_xla():
     """The device cell-apply (GeneralCellKernel, diag3 mode on the active
     cells) reproduces the XLA sum-factorized adaptive vmult exactly —
-    Poisson AND Helmholtz (streamed a(x)*JxW value table)."""
+    Poisson AND Helmholtz (streamed a(x)*JxW value table).
+
+    COVERAGE NOTE (ADVICE r4): this runs interpret=True (f64, CPU suite);
+    the Mosaic f32 compile of the adaptive diag3+table shapes is covered
+    on silicon by ``scripts/bench_adaptive_tpu.py``, which compiles both
+    backends on the chip and parity-checks them (RESULTS.md adaptive-TPU
+    table)."""
     from deal_and_ceed_on_gpu_tpu.adaptive import AdaptiveHelmholtzOperator
 
     space = _space((2, 2, 2), (0, 3), p=3)

@@ -169,9 +169,18 @@ def test_stacked_banded_vector_bp(bp):
         atol=1e-10 * float(jnp.linalg.norm(x_ref)),
     )
 
-    # fold_scale scales all Kronecker terms exactly once
+    # fold_scale scales all Kronecker terms exactly once. Contract
+    # (models/operator_base.py fold_scale): unconstrained rows scale by s,
+    # Dirichlet identity rows are UNAFFECTED — the stacked banded kernel
+    # enforces the identity in-kernel, so constrained rows return src.
     before = np.asarray(vop.vmult_padded(up))
     vop._stacked.fold_scale(2.0)
     after = np.asarray(vop.vmult_padded(up))
-    free = before != 0
+    free_ind = jnp.tile(
+        (~space.dirichlet_mask).astype(space.dtype)[None, :], (3, 1)
+    )
+    freep = np.asarray(vop.pad_flat(free_ind)) > 0.5
+    free = freep & (before != 0)
     np.testing.assert_allclose(after[free] / before[free], 2.0, rtol=1e-13)
+    con = (~freep) & (before != 0)
+    np.testing.assert_allclose(after[con], before[con], rtol=0, atol=0)

@@ -104,10 +104,19 @@ def test_stacked_helmholtz_vector_value_term():
     scale = np.abs(want).max()
     assert np.abs(got - want).max() < 1e-11 * scale
 
-    # fold_scale reaches the stacked value tile too
+    # fold_scale reaches the stacked value tile too. Contract
+    # (models/operator_base.py fold_scale): unconstrained rows scale by s,
+    # Dirichlet identity rows are UNAFFECTED — the stacked kernel enforces
+    # the identity in-kernel, so constrained rows return src values.
     up = vop.pad_flat(u)
     before = np.asarray(vop.vmult_padded(up))
     vop.fold_scale(3.0)
     after = np.asarray(vop.vmult_padded(up))
-    free = before != 0
+    free_ind = jnp.tile(
+        (~space.dirichlet_mask).astype(space.dtype)[None, :], (3, 1)
+    )
+    freep = np.asarray(vop.pad_flat(free_ind)) > 0.5
+    free = freep & (before != 0)
     np.testing.assert_allclose(after[free] / before[free], 3.0, rtol=1e-12)
+    con = (~freep) & (before != 0)
+    np.testing.assert_allclose(after[con], before[con], rtol=0, atol=0)
