@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""Q-grid streaming kernel (ops/pallas_qgrid.py) on the real chip vs the
+round-3 per-element general kernel: the mapped / varying-coefficient
+configurations VERDICT r4 weak #7 targets (mapped Q3 >= 2 GDoF/s,
+step-64-native >= 2 GDoF/s, vs 0.72 / 1.18 for pallas_general).
+
+    python scripts/bench_qgrid.py [mapped|step64|graded|bp3] ...
+"""
+import sys
+import time
+
+sys.path.insert(0, ".")
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deal_and_ceed_on_gpu_tpu import BrickMesh, FESpace
+from deal_and_ceed_on_gpu_tpu.ops.pallas_qgrid import build_qgrid_operator
+from deal_and_ceed_on_gpu_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
+N_AP = 50
+
+
+def sine_mapped(shape, amp=0.08):
+    mesh = BrickMesh(shape)
+
+    def mapping(x):
+        return x + amp * np.stack(
+            [
+                np.sin(np.pi * x[..., 1]) * np.sin(np.pi * x[..., 2]),
+                np.sin(np.pi * x[..., 0]) * np.sin(np.pi * x[..., 2]),
+                np.sin(np.pi * x[..., 0]) * np.sin(np.pi * x[..., 1]),
+            ],
+            axis=-1,
+        )
+
+    def jac(x):
+        pi = np.pi
+        c = amp * pi
+        s0, c0 = np.sin(pi * x[..., 0]), np.cos(pi * x[..., 0])
+        s1, c1 = np.sin(pi * x[..., 1]), np.cos(pi * x[..., 1])
+        s2, c2 = np.sin(pi * x[..., 2]), np.cos(pi * x[..., 2])
+        J = np.zeros(x.shape[:-1] + (3, 3))
+        J[..., 0, 0] = 1.0
+        J[..., 0, 1] = c * c1 * s2
+        J[..., 0, 2] = c * s1 * c2
+        J[..., 1, 0] = c * c0 * s2
+        J[..., 1, 1] = 1.0
+        J[..., 1, 2] = c * s0 * c2
+        J[..., 2, 0] = c * c0 * s1
+        J[..., 2, 1] = c * s0 * c1
+        J[..., 2, 2] = 1.0
+        return J
+
+    return mesh.deform(mapping, jac)
+
+
+def a_fn(x):
+    return 10.0 / (0.05 + 2.0 * np.sum(x * x, axis=-1))
+
+
+def run(tag, mesh, p, q, grad, val, coef_sd=None, precision="highest",
+        block_ez=2):
+    space = FESpace.create(mesh, p, n_q=q, rule="gauss", dtype=jnp.float32)
+    geo = space.geometry
+    w3 = np.asarray(geo.w3d).reshape(-1)
+    gspec = vspec = None
+    if grad == "const":
+        gspec = ("const", geo.const_merged_diag)
+    elif grad == "diag3":
+        gspec = (
+            "diag3",
+            geo.merged_coef_full()[:, :, (0, 3, 5)] / w3[None, :, None],
+        )
+    elif grad == "full6":
+        gspec = ("full6", geo.merged_coef_full() / w3[None, :, None])
+    if val == "table":
+        a_det = np.asarray(a_fn(geo.q_points_phys())) * geo.det_q_full()
+        vspec = ("table", a_det)
+    op = build_qgrid_operator(
+        mesh, space.basis, jnp.float32, grad=gspec, val=vspec,
+        coef_stream_dtype=coef_sd, precision=precision, block_ez=block_ez,
+    )
+    L = op.layout
+    n = space.n_dofs
+    u = jnp.asarray(
+        np.random.default_rng(0).standard_normal(space.n_dofs), jnp.float32
+    )
+    up = jax.block_until_ready(L.pad_flat(u / jnp.linalg.norm(u)))
+    v0 = jax.block_until_ready(op(up))
+    op.fold_scale(1.0 / max(float(jnp.linalg.norm(v0)), 1.0))
+
+    @jax.jit
+    def chain(x):
+        r = jax.lax.fori_loop(0, N_AP, lambda i, v: op(v), x)
+        return jnp.sum(r)
+
+    float(chain(up))
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(chain(up))
+        best = min(best, (time.perf_counter() - t0) / N_AP)
+    print(
+        f"{tag}: n={n} p={p} q={q} EZ={L.EZ} prec={precision} "
+        f"coef_sd={coef_sd or 'f32'}: {best*1e3:.3f} ms/apply -> "
+        f"{n/best/1e9:.2f} GDoF/s",
+        flush=True,
+    )
+
+
+CASES = {
+    # mapped Q3 ~4M DoFs (RESULTS r3: pallas_general 0.72 GDoF/s)
+    "mapped": lambda: run(
+        "mapped-sine Q3", sine_mapped((52, 52, 52)), 3, 4, "full6", None
+    ),
+    "mapped_bf16": lambda: run(
+        "mapped-sine Q3 (bf16 coef)", sine_mapped((52, 52, 52)), 3, 4,
+        "full6", None, coef_sd="bfloat16",
+    ),
+    "mapped_split3": lambda: run(
+        "mapped-sine Q3 (split3)", sine_mapped((52, 52, 52)), 3, 4,
+        "full6", None, precision="split3",
+    ),
+    # step-64-native: uniform cube, varying a(x), QGauss q=p+1
+    # (RESULTS r3: 1.18 GDoF/s on pallas_general)
+    "step64": lambda: run(
+        "step64-native Q3", BrickMesh((52, 52, 52)), 3, 4, "const", "table"
+    ),
+    "step64_bf16": lambda: run(
+        "step64-native Q3 (bf16 a)", BrickMesh((52, 52, 52)), 3, 4,
+        "const", "table", coef_sd="bfloat16",
+    ),
+    # graded diag3
+    "graded": lambda: run(
+        "graded Q3",
+        BrickMesh.graded(
+            *[
+                np.cumsum(
+                    np.concatenate(
+                        [[0.0], 0.6 + np.random.default_rng(7).random(52)]
+                    )
+                )
+                for _ in range(3)
+            ]
+        ),
+        3, 4, "diag3", None,
+    ),
+    # BP3 p=5 q=7 uniform (banded kernel does 3.4; qgrid comparison)
+    "bp3": lambda: run(
+        "BP3 p=5 q=7", BrickMesh((32, 32, 32)), 5, 7, "const", None
+    ),
+}
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or ["mapped", "step64", "graded"]
+    for nm in names:
+        try:
+            CASES[nm]()
+        except Exception as e:
+            print(f"{nm} FAILED: {type(e).__name__}: {str(e)[:300]}",
+                  flush=True)
