@@ -357,6 +357,7 @@ def _qgrid_kernel(
     *refs,
     L: QGridLayout,
     interpret: bool,
+    constrained: bool,
 ):
     p, q, EZ = L.p, L.q, L.EZ
     nxp, mxq = L.nxp, L.mxq
@@ -376,8 +377,9 @@ def _qgrid_kernel(
     xF_S, xF_D, xB_S, xB_D = next(it), next(it), next(it), next(it)
     zmask_ref, ymask_ref = next(it), next(it)
     out_hbm = next(it)
-    win, zcar, ycar, obuf, in_sem, out_sem = (
-        next(it), next(it), next(it), next(it), next(it), next(it)
+    win, zcar, ycar, obuf, zbuf, in_sem, out_sem = (
+        next(it), next(it), next(it), next(it), next(it), next(it),
+        next(it),
     )
 
     j = pl.program_id(0)  # y block (outer)
@@ -394,6 +396,7 @@ def _qgrid_kernel(
     def _():
         win[...] = jnp.zeros_like(win)
         ycar[...] = jnp.zeros_like(ycar)
+        zbuf[...] = jnp.zeros_like(zbuf)
 
     @pl.when(k == 0)
     def _():
@@ -434,6 +437,28 @@ def _qgrid_kernel(
 
     # --------------------------- z forward ---------------------------- #
     S_np, D_np = L.S_np, L.D_np
+    w_all = win[...].astype(f32)
+    if constrained:
+        # constrained form M A M + in-kernel identity rows: M is a
+        # tensor-product nodal mask, so masking the input WINDOW is
+        # exactly A M (the same per-axis factorization the banded kernel
+        # bakes into its tables); the output mask + identity rows are
+        # applied to the assembled local block below, where the raw u
+        # tile is still in VMEM (bp5/step-64.cu:275 with zero epilogue
+        # traffic)
+        nzr, nyr, nxr = L.real_shape
+        sh = (R + 1, YQ8, nxp)
+        zg = jax.lax.broadcasted_iota(jnp.int32, sh, 0) + k * R
+        yg = jax.lax.broadcasted_iota(jnp.int32, sh, 1) + j * (EY * p)
+        xg = jax.lax.broadcasted_iota(jnp.int32, sh, 2)
+        bnd = (
+            (zg == 0) | (zg == nzr - 1)
+            | (yg == 0) | (yg == nyr - 1)
+            | (xg == 0) | (xg == nxr - 1)
+        )
+        w_use = jnp.where(bnd, jnp.zeros((), f32), w_all)
+    else:
+        w_use = w_all
 
     def z_fwd(M):
         planes = []
@@ -444,7 +469,7 @@ def _qgrid_kernel(
                 c = float(M[r, i])
                 if c == 0.0:
                     continue
-                t = win[e * p + i].astype(f32) * c
+                t = w_use[e * p + i] * c
                 acc = t if acc is None else acc + t
             planes.append(
                 acc
@@ -585,6 +610,12 @@ def _qgrid_kernel(
     loc = loc.at[R, 0, :].add(lastf * ycr[R])
     ycar[jw, pl.ds(k * R, R + 1), :] = loc[:, EY * p, :].astype(ycar.dtype)
 
+    if constrained:
+        # output-side mask + identity rows in one select: boundary rows
+        # of the assembled block become the raw u values (boundary planes
+        # are never block-shared, so this commutes with the carries)
+        loc = jnp.where(bnd, w_all, loc)
+
     obuf[...] = loc.astype(obuf.dtype)
 
     def wr(zsl, zrows, ysl, ycols):
@@ -614,16 +645,60 @@ def _qgrid_kernel(
         def _():
             wr(R, 1, EY * p, 1)
 
+    # zero the never-written alignment strips so the padded output obeys
+    # the zero-padding invariant (whole solves run in this layout; f32
+    # garbage could be NaN and 0 * NaN pollutes dots/chains)
+    nzb_s, nyb_s = L.nzb, L.nyb  # static grid extents
+    ZSTRIP = L.ZT - (nzb_s * R + 1)
+    YSTRIP = L.YT - (nyb_s * EY * p + 1)
 
-@functools.partial(jax.jit, static_argnames=("L", "interpret"))
-def _qgrid_call(u, C, a_q, consts, *, L: QGridLayout, interpret):
+    def wz_zero(z0, zrows, y0, ycols):
+        cpz = pltpu.make_async_copy(
+            zbuf.at[pl.ds(0, zrows), pl.ds(0, ycols), :],
+            out_hbm.at[pl.ds(z0, zrows), pl.ds(y0, ycols), :],
+            out_sem,
+        )
+        cpz.start()
+        cpz.wait()
+
+    if YSTRIP > 0:
+
+        @pl.when(j == nyb - 1)
+        def _():
+            wz_zero(k * R, R, nyb_s * EY * p + 1, YSTRIP)
+
+            @pl.when(k == nzb - 1)
+            def _():
+                wz_zero(nzb_s * R, 1, nyb_s * EY * p + 1, YSTRIP)
+
+    if ZSTRIP > 0:
+
+        @pl.when(k == nzb - 1)
+        def _():
+            wz_zero(nzb_s * R + 1, ZSTRIP, j * (EY * p), EY * p)
+
+            @pl.when(j == nyb - 1)
+            def _():
+                wz_zero(
+                    nzb_s * R + 1, ZSTRIP, nyb_s * EY * p,
+                    1 + YSTRIP,
+                )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("L", "interpret", "constrained")
+)
+def _qgrid_call(u, C, a_q, consts, *, L: QGridLayout, interpret,
+                constrained=False):
     p, q, EZ = L.p, L.q, L.EZ
     A, R = EZ * q, EZ * p
     YQ8 = EY * q
     dt = L.dtype
     f32 = jnp.float32 if dt != jnp.float64 else jnp.float64
 
-    kernel = functools.partial(_qgrid_kernel, L=L, interpret=interpret)
+    kernel = functools.partial(
+        _qgrid_kernel, L=L, interpret=interpret, constrained=constrained
+    )
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     operands = [u.reshape(L.padded_shape), consts.astype(f32)]
@@ -650,6 +725,7 @@ def _qgrid_call(u, C, a_q, consts, *, L: QGridLayout, interpret):
         pltpu.VMEM((YQ8, L.nxp), f32),         # z carry
         pltpu.VMEM((2, L.ZT, L.nxp), f32),     # y column carry (ping-pong)
         pltpu.VMEM((R + 1, YQ8, L.nxp), dt),   # out buffer
+        pltpu.VMEM((max(R + 1, 8), YQ8, L.nxp), dt),  # zeros (strips)
         pltpu.SemaphoreType.DMA(()),
         pltpu.SemaphoreType.DMA(()),
     ]
@@ -686,12 +762,26 @@ class build_qgrid_operator:
         )
         self.interpret = interpret
 
-    def __call__(self, u):
+    def _consts(self):
         L = self.layout
         cg = L.c_grad or (0.0, 0.0, 0.0)
-        consts = jnp.asarray([*cg, L.c_val or 0.0])
+        return jnp.asarray([*cg, L.c_val or 0.0])
+
+    def __call__(self, u):
+        L = self.layout
         return _qgrid_call(
-            u, L.C, L.a_q, consts, L=L, interpret=self.interpret
+            u, L.C, L.a_q, self._consts(), L=L, interpret=self.interpret
+        )
+
+    def constrained_call(self, u):
+        """Constrained apply ``M A M + identity rows`` on padded-flat
+        vectors, all in-kernel (input-window masking + boundary-row
+        select — M factors per axis as a tensor-product nodal mask).
+        Whole solves run in this layout; padding stays zero."""
+        L = self.layout
+        return _qgrid_call(
+            u, L.C, L.a_q, self._consts(), L=L, interpret=self.interpret,
+            constrained=True,
         )
 
     def fold_scale(self, s):

@@ -154,6 +154,39 @@ def test_qgrid_matches_structured(kind, shape, p, qoff, grad, val):
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-12 * scale)
 
 
+@pytest.mark.parametrize("kind", ["uniform", "mapped"])
+def test_qgrid_constrained_matches_vmult(kind):
+    """constrained_call == the full constrained operator (M A M +
+    identity rows), matching PoissonOperator.vmult with Dirichlet
+    handling, entirely in-kernel."""
+    mesh = _make(kind, (3, 9, 5))
+    p = 3
+    space = FESpace.create(mesh, p, n_q=p + 1, rule="gauss", dtype=jnp.float64)
+    geo = space.geometry
+    w3 = np.asarray(geo.w3d).reshape(-1)
+    if geo.uniform:
+        gspec = ("const", geo.const_merged_diag)
+    else:
+        gspec = ("full6", geo.merged_coef_full() / w3[None, :, None])
+    qop = build_qgrid_operator(
+        mesh, space.basis, jnp.float64, grad=gspec, interpret=True
+    )
+    L = qop.layout
+    ref = PoissonOperator(space, backend="structured")
+    u = np.random.default_rng(2).standard_normal(space.n_dofs)
+    want = np.asarray(ref.vmult(jnp.asarray(u)))
+    up = L.pad_flat(jnp.asarray(u))
+    outp = qop.constrained_call(up)
+    got = np.asarray(L.unpad_flat(outp))
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-12 * scale)
+    # the zero-padding invariant: every pad entry of the output is zero
+    grid = np.asarray(outp).reshape(L.padded_shape)
+    nz, ny, nx = L.real_shape
+    assert not np.any(grid[nz:]) and not np.any(grid[:, ny:])
+    assert not np.any(grid[:, :, nx:])
+
+
 def test_qgrid_fold_scale():
     mesh = BrickMesh((2, 9, 4))
     space = FESpace.create(mesh, 2, n_q=4, rule="gauss", dtype=jnp.float64)
