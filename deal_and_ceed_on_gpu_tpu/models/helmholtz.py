@@ -79,6 +79,40 @@ class HelmholtzOperator(MatrixFreeOperator):
                 coefficient_fn(space.geometry.q_points_phys()), dtype=np.float64
             )
             return
+        if backend == "pallas_qgrid":
+            # q-grid streaming kernel at the reference's NATIVE step-64
+            # configuration (Gauss rule, varying a(x), value+gradient),
+            # any brick geometry incl. mapped — no element-major layout
+            # (ops/pallas_qgrid.py; step-64/step-64.cu:153-219)
+            from ..ops.pallas_qgrid import build_qgrid_operator
+
+            super().__init__(space, backend)
+            self._dist_unsupported = (
+                "pallas_qgrid Helmholtz streams a position-dependent "
+                "a(x)*det value table inside the kernel; use "
+                "backend='structured' for the distributed operator"
+            )
+            geo = space.geometry
+            w3 = np.asarray(geo.w3d).reshape(-1)
+            xq = geo.q_points_phys()
+            a_q = np.asarray(coefficient_fn(xq), dtype=np.float64)
+            self._a_q_raw = a_q
+            if geo.uniform:
+                grad = ("const", geo.const_merged_diag)
+            elif not geo.mapped:
+                grad = (
+                    "diag3",
+                    geo.merged_coef_full()[:, :, (0, 3, 5)]
+                    / w3[None, :, None],
+                )
+            else:
+                grad = ("full6", geo.merged_coef_full() / w3[None, :, None])
+            self._qgrid = build_qgrid_operator(
+                space.mesh, space.basis, space.dtype, grad=grad,
+                val=("table", a_q * geo.det_q_full()),
+                **(pallas_opts or {}),
+            )
+            return
         if backend == "pallas_general":
             # fused general-quadrature kernel at the reference's native
             # step-64 configuration (Gauss rule, value+gradient), any
@@ -172,16 +206,20 @@ class HelmholtzOperator(MatrixFreeOperator):
     # ------------------- pallas (padded-layout) path ------------------- #
     @property
     def layout(self):
+        if self.backend == "pallas_qgrid":
+            return self._qgrid.layout
         return self._stencil.layout
 
     def vmult_padded(self, src: jnp.ndarray) -> jnp.ndarray:
         from ..ops.pallas_stencil import constrained_vmult_padded
 
+        if self.backend == "pallas_qgrid":
+            return self._qgrid.constrained_call(src)
         return constrained_vmult_padded(self._stencil, src)
 
     def vmult(self, src: jnp.ndarray) -> jnp.ndarray:
-        if self.backend == "pallas":
-            L = self._stencil.layout
+        if self.backend in ("pallas", "pallas_qgrid"):
+            L = self.layout
             if src.shape[0] == L.n:
                 return self.vmult_padded(src)
             return L.unpad_flat(self.vmult_padded(L.pad_flat(src)))
@@ -190,6 +228,9 @@ class HelmholtzOperator(MatrixFreeOperator):
     def _apply_fold_scale(self, s: float) -> None:
         if self.backend == "pallas_general":
             self._general.fold_scale(s)
+            return
+        if self.backend == "pallas_qgrid":
+            self._qgrid.fold_scale(s)
             return
         if self.backend == "pallas":
             L = self._stencil.layout

@@ -38,6 +38,20 @@ class MassOperator(MatrixFreeOperator):
             return
         super().__init__(space, backend)
         geo = space.geometry
+        if backend == "pallas_qgrid":
+            # q-grid streaming mass: value-only term, any Gauss rule, any
+            # brick geometry incl. mapped (ops/pallas_qgrid.py)
+            from ..ops.pallas_qgrid import build_qgrid_operator
+
+            if geo.uniform:
+                val = ("const", geo.det_j)
+            else:
+                val = ("table", geo.det_q_full())
+            self._qgrid = build_qgrid_operator(
+                space.mesh, space.basis, space.dtype, val=val,
+                **(pallas_opts or {}),
+            )
+            return
         if backend == "separable":
             from ..ops.separable import mass_terms
 
@@ -59,6 +73,8 @@ class MassOperator(MatrixFreeOperator):
     # ------------------- pallas (padded-layout) path ------------------- #
     @property
     def layout(self):
+        if self.backend == "pallas_qgrid":
+            return self._qgrid.layout
         return self._stencil.layout
 
     def vmult_padded(self, src: jnp.ndarray) -> jnp.ndarray:
@@ -66,11 +82,13 @@ class MassOperator(MatrixFreeOperator):
         :func:`..ops.pallas_stencil.constrained_vmult_padded`)."""
         from ..ops.pallas_stencil import constrained_vmult_padded
 
+        if self.backend == "pallas_qgrid":
+            return self._qgrid.constrained_call(src)
         return constrained_vmult_padded(self._stencil, src)
 
     def vmult(self, src: jnp.ndarray) -> jnp.ndarray:
-        if self.backend == "pallas":
-            L = self._stencil.layout
+        if self.backend in ("pallas", "pallas_qgrid"):
+            L = self.layout
             if src.shape[0] == L.n:
                 return self.vmult_padded(src)
             return L.unpad_flat(self.vmult_padded(L.pad_flat(src)))
@@ -82,6 +100,9 @@ class MassOperator(MatrixFreeOperator):
             return
         if self.backend == "pallas_general":
             self._general.fold_scale(s)
+            return
+        if self.backend == "pallas_qgrid":
+            self._qgrid.fold_scale(s)
             return
         if self.backend == "separable":
             return super()._apply_fold_scale(s)

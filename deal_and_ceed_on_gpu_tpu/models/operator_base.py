@@ -46,6 +46,10 @@ _LAYOUT_AXES = {
     # fused general-quadrature Pallas kernel (any rule, any geometry):
     # gather -> dense-basis MXU kernel -> scatter (ops/pallas_general.py)
     "pallas_general": (1, 2, 3),
+    # q-grid streaming kernel (any Gauss rule, any brick geometry incl.
+    # mapped) — no element-major layout at all (ops/pallas_qgrid.py);
+    # fast path is vmult_padded on the kernel-owned padded layout
+    "pallas_qgrid": (1, 2, 3),
 }
 
 
@@ -154,6 +158,9 @@ class MatrixFreeOperator:
             return apply_separable(u, self._sep_terms, self.sep_mode).reshape(-1)
         if self.backend == "pallas_general":
             return self._general(u_flat)
+        if self.backend == "pallas_qgrid":
+            L = self._qgrid.layout
+            return L.unpad_flat(self._qgrid(L.pad_flat(u_flat)))
         ul = self.gather(u_flat)
         vals, grads = sf.evaluate(
             ul,

@@ -60,6 +60,37 @@ class PoissonOperator(MatrixFreeOperator):
                     **(pallas_opts or {})
                 )
             return
+        if backend == "pallas_qgrid":
+            # q-grid streaming kernel (ops/pallas_qgrid.py): any Gauss
+            # rule, any brick geometry incl. mapped — node->quadrature
+            # grid streaming, no element-major layout; the fast path for
+            # mapped/varying-coefficient configurations (RESULTS.md
+            # "q-grid streaming kernel")
+            import numpy as np
+
+            from ..ops.pallas_qgrid import build_qgrid_operator
+
+            super().__init__(space, backend)
+            geo = space.geometry
+            w3 = np.asarray(geo.w3d).reshape(-1)
+            if geo.uniform:
+                self.coefficient = "merged_const"
+                grad = ("const", geo.const_merged_diag)
+            elif not geo.mapped:
+                self.coefficient = "merged_full"
+                grad = (
+                    "diag3",
+                    geo.merged_coef_full()[:, :, (0, 3, 5)]
+                    / w3[None, :, None],
+                )
+            else:
+                self.coefficient = "merged_full"
+                grad = ("full6", geo.merged_coef_full() / w3[None, :, None])
+            self._qgrid = build_qgrid_operator(
+                space.mesh, space.basis, space.dtype, grad=grad,
+                **(pallas_opts or {}),
+            )
+            return
         if backend == "pallas_general":
             # fused general-quadrature kernel: any rule (Gauss p+1/p+2,
             # GLL), any geometry incl. mapped — the fast path for the
@@ -107,6 +138,8 @@ class PoissonOperator(MatrixFreeOperator):
     # ------------------- pallas (padded-layout) path ------------------- #
     @property
     def layout(self):
+        if self.backend == "pallas_qgrid":
+            return self._qgrid.layout
         return self._stencil.layout
 
     def vmult_padded(self, src: jnp.ndarray) -> jnp.ndarray:
@@ -117,11 +150,15 @@ class PoissonOperator(MatrixFreeOperator):
         (measured: ~9% of the apply vs the old full-volume where() passes)."""
         from ..ops.pallas_stencil import constrained_vmult_padded
 
+        if self.backend == "pallas_qgrid":
+            # fully in-kernel constrained apply (input-window masking +
+            # boundary-row identity select — ops/pallas_qgrid.py)
+            return self._qgrid.constrained_call(src)
         return constrained_vmult_padded(self._stencil, src)
 
     def vmult(self, src: jnp.ndarray) -> jnp.ndarray:
-        if self.backend == "pallas":
-            L = self._stencil.layout
+        if self.backend in ("pallas", "pallas_qgrid"):
+            L = self.layout
             if src.shape[0] == L.n:
                 return self.vmult_padded(src)
             return L.unpad_flat(self.vmult_padded(L.pad_flat(src)))
@@ -130,6 +167,9 @@ class PoissonOperator(MatrixFreeOperator):
     def _apply_fold_scale(self, s: float) -> None:
         if self.backend == "pallas_general":
             self._general.fold_scale(s)
+            return
+        if self.backend == "pallas_qgrid":
+            self._qgrid.fold_scale(s)
             return
         if self.backend == "pallas":
             from ..ops.pallas_banded import build_banded_operator

@@ -21,7 +21,12 @@ op is a clean (sublane, lane)-tiled block), so each grid step issues
 exactly ONE input DMA and ONE output DMA. Measured on the dev chip, DMA cost is ~35 us fixed per
 transfer plus bytes at the streaming rate, with only a couple of engines
 — eight small per-step DMAs serialize, one stacked pair doesn't
-(scripts/exp_solver_budget.py, r4 notes in RESULTS.md).
+(scripts/exp_solver_budget.py). MEASURED VERDICT (RESULTS.md "Fully-fused
+CG iteration kernel"): on the dev chip the donated XLA path stays faster
+(Pallas DMA streams at ~half XLA's rate there), so pcg-merged+A_donate
+remains the production default and this kernel is the recorded
+alternative, re-measurable via ``--modes pcg-fused`` /
+``scripts/bench_cg_fused.py``.
 
 Design notes:
 - Four sliding windows share the z-streaming schedule of the base stencil

@@ -592,8 +592,13 @@ def _qgrid_kernel(
     loc = jnp.stack(out_rows)  # [R+1, YQ8, nxp] node grid
 
     # ------------------- carries + output assembly ------------------- #
+    # (all updates are broadcasted elementwise adds — Mosaic has no
+    # value-scatter, so row/column selection rides iota masks)
+    sh3 = (R + 1, YQ8, nxp)
+    riota = jax.lax.broadcasted_iota(jnp.int32, sh3, 0)
+    yiota = jax.lax.broadcasted_iota(jnp.int32, sh3, 1)
     # z: first plane completes with the carry; last plane becomes it
-    loc = loc.at[0].add(zcar[...].astype(f32))
+    loc = loc + jnp.where(riota == 0, zcar[...][None].astype(f32), 0.0)
     zcar[...] = loc[R].astype(zcar.dtype)
     # y: first col completes with the previous COLUMN's carry. Ping-pong
     # slots — column j writes slot j%2 while reading column j-1's slot
@@ -605,9 +610,11 @@ def _qgrid_kernel(
     jr = jax.lax.rem(j + 1, jnp.asarray(2, jnp.int32))  # == (j-1) % 2
     jw = jax.lax.rem(j, jnp.asarray(2, jnp.int32))
     ycr = ycar[jr, pl.ds(k * R, R + 1), :].astype(f32)
-    loc = loc.at[:R, 0, :].add(ycr[:R])
     lastf = (k == nzb - 1).astype(f32)
-    loc = loc.at[R, 0, :].add(lastf * ycr[R])
+    rowscale = jnp.where(riota < R, 1.0, lastf)
+    loc = loc + jnp.where(
+        yiota == 0, ycr[:, None, :] * rowscale, 0.0
+    )
     ycar[jw, pl.ds(k * R, R + 1), :] = loc[:, EY * p, :].astype(ycar.dtype)
 
     if constrained:

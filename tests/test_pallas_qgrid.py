@@ -187,6 +187,53 @@ def test_qgrid_constrained_matches_vmult(kind):
     assert not np.any(grid[:, :, nx:])
 
 
+def test_qgrid_operator_backend():
+    """backend="pallas_qgrid" on the three operator models: vmult (flat
+    AND padded) matches the structured backend; a padded-layout merged-CG
+    solve matches the structured solve."""
+    from deal_and_ceed_on_gpu_tpu.models import assemble_rhs
+    from deal_and_ceed_on_gpu_tpu.solvers import (
+        IterationNumberControl,
+        solve_cg_merged,
+    )
+
+    mesh = _mapped((3, 9, 4))
+    p = 3
+    space = FESpace.create(mesh, p, n_q=p + 1, rule="gauss", dtype=jnp.float64)
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(rng.standard_normal(space.n_dofs))
+    for cls, kw in (
+        (PoissonOperator, {}),
+        (HelmholtzOperator, {}),
+        (MassOperator, {}),
+    ):
+        ref = cls(space, backend="structured", **kw)
+        qop = cls(space, backend="pallas_qgrid",
+                  pallas_opts=dict(interpret=True), **kw)
+        want = np.asarray(ref.vmult(u))
+        got = np.asarray(qop.vmult(u))
+        scale = np.abs(want).max()
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-12 * scale)
+        L = qop.layout
+        gotp = np.asarray(L.unpad_flat(qop.vmult_padded(L.pad_flat(u))))
+        np.testing.assert_allclose(gotp, want, rtol=0, atol=1e-12 * scale)
+
+    # whole solve in the padded layout (Poisson)
+    ref = PoissonOperator(space, backend="structured")
+    qop = PoissonOperator(space, backend="pallas_qgrid",
+                          pallas_opts=dict(interpret=True))
+    b = assemble_rhs(space, 1.0)
+    ctl = IterationNumberControl(80, 1e-10 * float(jnp.linalg.norm(b)))
+    x_ref, info_ref = solve_cg_merged(ref.vmult, b, ctl)
+    L = qop.layout
+    xp, info = solve_cg_merged(qop.vmult_padded, L.pad_flat(b), ctl)
+    assert int(info["n_iterations"]) == int(info_ref["n_iterations"])
+    np.testing.assert_allclose(
+        np.asarray(L.unpad_flat(xp)), np.asarray(x_ref), rtol=1e-9,
+        atol=1e-10 * float(jnp.linalg.norm(x_ref)),
+    )
+
+
 def test_qgrid_fold_scale():
     mesh = BrickMesh((2, 9, 4))
     space = FESpace.create(mesh, 2, n_q=4, rule="gauss", dtype=jnp.float64)
