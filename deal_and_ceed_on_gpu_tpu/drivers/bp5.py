@@ -730,7 +730,7 @@ def main():
             "invocation also run at reduced precision (unlike the XLA "
             "backends, where it is scoped to the vmult benchmark)"
         )
-    if args.stream_dtype and args.backend != "pallas":
+    if args.stream_dtype and args.backend not in ("pallas", "auto"):
         pcout("WARNING: --stream-dtype only applies to backend=pallas (ignored)")
     parts = [int(s) for s in args.shards.split("x")]
     pz, py, px = (parts + [1, 1])[:3]

@@ -243,24 +243,16 @@ class QGridLayout:
         self.xB_S = jnp.asarray(bwd["S"], dt)
         self.xB_D = jnp.asarray(bwd["D"], dt)
 
-        # dead-element validity masks on the q grid: ragged tail blocks
+        # dead-element live thresholds on the q grid: ragged tail blocks
         # hold pad elements whose forward-interpolated q values are
         # NONZERO (they read the real boundary node plane) — streamed
         # coefficient tables zero them implicitly (built for real
-        # elements only), the "const" modes need the explicit mask; x pad
-        # is zeroed by the dense chunk tables
-        zm = np.zeros((self.nzb, self.EZ * q))
-        for kb in range(self.nzb):
-            for e in range(self.EZ):
-                if kb * self.EZ + e < mz:
-                    zm[kb, e * q : (e + 1) * q] = 1.0
-        ym = np.zeros((self.nyb, EY * q))
-        for jb in range(self.nyb):
-            for e in range(EY):
-                if jb * EY + e < my:
-                    ym[jb, e * q : (e + 1) * q] = 1.0
-        self.zmask = jnp.asarray(zm, dt)
-        self.ymask = jnp.asarray(ym, dt)
+        # elements only); the "const" modes mask them in-kernel via iota
+        # compares against these thresholds (the dead set is a contiguous
+        # tail per axis: global q index >= m*q); x pad is zeroed by the
+        # dense chunk tables
+        self.nq_live_z = mz * q
+        self.nq_live_y = my * q
 
         # ------------- coefficient tables on the q grid ------------- #
         self.grad_kind = 0
@@ -375,7 +367,6 @@ def _qgrid_kernel(
         a_ref = next(it)
     yF_S, yF_D, yB_S, yB_D = next(it), next(it), next(it), next(it)
     xF_S, xF_D, xB_S, xB_D = next(it), next(it), next(it), next(it)
-    zmask_ref, ymask_ref = next(it), next(it)
     out_hbm = next(it)
     win, zcar, ycar, obuf, zbuf, in_sem, out_sem = (
         next(it), next(it), next(it), next(it), next(it), next(it),
@@ -515,12 +506,19 @@ def _qgrid_kernel(
         v = x_fwd(ay, xF_S, L.x_w0f, L.x_LW)
 
     # ---------------------- quad-point operation ---------------------- #
-    # dead-element (ragged tail block) q values are nonzero — mask the
-    # const modes; streamed C / a tables are zero there already
-    mrow = (
-        zmask_ref[k][:, None].astype(f32)
-        * ymask_ref[j][None, :].astype(f32)
-    ).reshape(rows, 1)
+    # dead-element (ragged tail block) q values are nonzero — the const
+    # modes mask them; streamed C / a tables are zero there already. The
+    # dead set is a contiguous tail per axis, so the row mask is two
+    # iota threshold compares in the kernel's native [rows, 1] layout
+    # (the layout-table [A,YQ8]->[rows,1] reshape and the [A]->[A,1,1]
+    # vector transpose are both "infer-vector-layout: unsupported shape
+    # cast" in Mosaic — measured on chip; iota is the supported form).
+    if grad_kind == 1 or val_kind == 1:
+        r = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+        live = ((k * A + r // YQ8) < L.nq_live_z) & (
+            (j * YQ8 + r % YQ8) < L.nq_live_y
+        )
+        mrow = jnp.where(live, f32(1.0), f32(0.0))
     if grad_kind == 1:
         cx, cyc, cz = cs_ref[0], cs_ref[1], cs_ref[2]
         fx, fy, fz = cx * gx * mrow, cyc * gy * mrow, cz * gz * mrow
@@ -724,9 +722,8 @@ def _qgrid_call(u, C, a_q, consts, *, L: QGridLayout, interpret,
     operands += [
         L.yF_S, L.yF_D, L.yB_S, L.yB_D,
         L.xF_S, L.xF_D, L.xB_S, L.xB_D,
-        L.zmask, L.ymask,
     ]
-    in_specs += [vmem] * 10
+    in_specs += [vmem] * 8
     scratch = [
         pltpu.VMEM((R + 1, YQ8, L.nxp), dt),   # win (node window)
         pltpu.VMEM((YQ8, L.nxp), f32),         # z carry
