@@ -394,11 +394,19 @@ def _qgrid_kernel(
         zcar[...] = jnp.zeros_like(zcar)
 
     # ---------------- input window DMA (synchronous v1) --------------- #
+    # y (sublane-tiled dim) slices must be 8-aligned in offset AND size
+    # once nxp > 128 (multi-lane-tile memrefs: Mosaic rejects partial-
+    # tile `tpu.memref_slice` there, measured on chip) — so read the
+    # aligned WYNP = 8*(p+1) window (fits: YQ8 = 8q >= 8(p+1), and the
+    # last block's read ends exactly at YT) and zero the over-read
+    # columns in-VALUE below. The window offset j*EY*p = 8pj is always
+    # aligned.
+    WYNP = WYN + 7 - (WYN + 7) % 8  # == 8 * (p + 1)
     cp = pltpu.make_async_copy(
         u_hbm.at[
-            pl.ds(k * R, R + 1), pl.ds(j * (EY * p), WYN), :
+            pl.ds(k * R, R + 1), pl.ds(j * (EY * p), WYNP), :
         ],
-        win.at[: R + 1, :WYN, :],
+        win.at[: R + 1, :WYNP, :],
         in_sem,
     )
     cp.start()
@@ -429,6 +437,12 @@ def _qgrid_kernel(
     # --------------------------- z forward ---------------------------- #
     S_np, D_np = L.S_np, L.D_np
     w_all = win[...].astype(f32)
+    # zero the aligned-over-read columns [WYN, WYNP) in-value (they hold
+    # the NEXT y block's nodes; the sweeps below rely on zeros beyond the
+    # real window, as the zero-initialized win provided before the
+    # aligned DMA)
+    ycol = jax.lax.broadcasted_iota(jnp.int32, (R + 1, YQ8, nxp), 1)
+    w_all = jnp.where(ycol < WYN, w_all, jnp.zeros((), f32))
     if constrained:
         # constrained form M A M + in-kernel identity rows: M is a
         # tensor-product nodal mask, so masking the input WINDOW is
@@ -607,13 +621,19 @@ def _qgrid_kernel(
     # the final z step has no next step, so it adds row R explicitly.
     jr = jax.lax.rem(j + 1, jnp.asarray(2, jnp.int32))  # == (j-1) % 2
     jw = jax.lax.rem(j, jnp.asarray(2, jnp.int32))
-    ycr = ycar[jr, pl.ds(k * R, R + 1), :].astype(f32)
+    # per-z-block carry slots (dynamic indices only on the two leading
+    # dims; a dynamic SUBLANE offset `k*R` into a flat [ZT, nxp] buffer
+    # is an unsupported Mosaic vector.load once nxp > 128). Equivalent
+    # to the flat overlapped layout: the slot's shared row R is consumed
+    # only at the last z block (`rowscale` zeroes it otherwise), where
+    # its partially-assembled value is exactly what the flat buffer held.
+    ycr = ycar[jr, k, pl.ds(0, R + 1), :].astype(f32)
     lastf = (k == nzb - 1).astype(f32)
     rowscale = jnp.where(riota < R, 1.0, lastf)
     loc = loc + jnp.where(
         yiota == 0, ycr[:, None, :] * rowscale, 0.0
     )
-    ycar[jw, pl.ds(k * R, R + 1), :] = loc[:, EY * p, :].astype(ycar.dtype)
+    ycar[jw, k, pl.ds(0, R + 1), :] = loc[:, EY * p, :].astype(ycar.dtype)
 
     if constrained:
         # output-side mask + identity rows in one select: boundary rows
@@ -621,6 +641,12 @@ def _qgrid_kernel(
         # are never block-shared, so this commutes with the carries)
         loc = jnp.where(bnd, w_all, loc)
 
+    # zero the columns past the block's last real node (> EY*p): the
+    # last-y-block edge write below ships an ALIGNED 8-wide slab (real
+    # last column + 7 alignment-strip columns), which both satisfies the
+    # multi-lane-tile DMA tiling rule and establishes the y-strip part
+    # of the zero-padding invariant in one write
+    loc = jnp.where(yiota <= EY * p, loc, jnp.zeros((), f32))
     obuf[...] = loc.astype(obuf.dtype)
 
     def wr(zsl, zrows, ysl, ycols):
@@ -642,20 +668,21 @@ def _qgrid_kernel(
     def _():
         wr(R, 1, 0, EY * p)
 
+    # last real y column + 7 zero strip columns, one aligned 8-wide write
+    # (YT == nyb*EY*p + 8 always: EY*p is a multiple of 8)
     @pl.when(j == nyb - 1)
     def _():
-        wr(0, R, EY * p, 1)
+        wr(0, R, EY * p, 8)
 
         @pl.when(k == nzb - 1)
         def _():
-            wr(R, 1, EY * p, 1)
+            wr(R, 1, EY * p, 8)
 
-    # zero the never-written alignment strips so the padded output obeys
+    # zero the never-written z alignment strip so the padded output obeys
     # the zero-padding invariant (whole solves run in this layout; f32
     # garbage could be NaN and 0 * NaN pollutes dots/chains)
     nzb_s, nyb_s = L.nzb, L.nyb  # static grid extents
     ZSTRIP = L.ZT - (nzb_s * R + 1)
-    YSTRIP = L.YT - (nyb_s * EY * p + 1)
 
     def wz_zero(z0, zrows, y0, ycols):
         cpz = pltpu.make_async_copy(
@@ -666,16 +693,6 @@ def _qgrid_kernel(
         cpz.start()
         cpz.wait()
 
-    if YSTRIP > 0:
-
-        @pl.when(j == nyb - 1)
-        def _():
-            wz_zero(k * R, R, nyb_s * EY * p + 1, YSTRIP)
-
-            @pl.when(k == nzb - 1)
-            def _():
-                wz_zero(nzb_s * R, 1, nyb_s * EY * p + 1, YSTRIP)
-
     if ZSTRIP > 0:
 
         @pl.when(k == nzb - 1)
@@ -684,10 +701,7 @@ def _qgrid_kernel(
 
             @pl.when(j == nyb - 1)
             def _():
-                wz_zero(
-                    nzb_s * R + 1, ZSTRIP, nyb_s * EY * p,
-                    1 + YSTRIP,
-                )
+                wz_zero(nzb_s * R + 1, ZSTRIP, nyb_s * EY * p, 8)
 
 
 @functools.partial(
@@ -727,7 +741,11 @@ def _qgrid_call(u, C, a_q, consts, *, L: QGridLayout, interpret,
     scratch = [
         pltpu.VMEM((R + 1, YQ8, L.nxp), dt),   # win (node window)
         pltpu.VMEM((YQ8, L.nxp), f32),         # z carry
-        pltpu.VMEM((2, L.ZT, L.nxp), f32),     # y column carry (ping-pong)
+        # y column carry, ping-pong x per-z-block slots (static sublane
+        # offsets; see the kernel's ycar comment)
+        pltpu.VMEM(
+            (2, L.nzb, _round_up(L.EZ * L.p + 1, 8), L.nxp), f32
+        ),
         pltpu.VMEM((R + 1, YQ8, L.nxp), dt),   # out buffer
         pltpu.VMEM((max(R + 1, 8), YQ8, L.nxp), dt),  # zeros (strips)
         pltpu.SemaphoreType.DMA(()),
