@@ -806,5 +806,24 @@ class build_qgrid_operator:
             constrained=True,
         )
 
+    # ------------- explicit-tables form (for user jits) -------------- #
+    def tables(self):
+        """The operator's streamed-table pytree ``(C, a_q, consts)``.
+        Thread these through your own jit and apply with
+        :meth:`apply_tables` when the loop body would otherwise capture
+        them as closure CONSTANTS — a jit that closes over ``op``
+        embeds the coefficient arrays (286 MB of f32 full6 planes at
+        mapped-Q3 4M DoFs) into the serialized program, which the axon
+        tunnel's remote-compile rejects with HTTP 413 (and is pure
+        waste on any backend)."""
+        return (self.layout.C, self.layout.a_q, self._consts())
+
+    def apply_tables(self, u, tables, constrained=False):
+        C, a_q, consts = tables
+        return _qgrid_call(
+            u, C, a_q, consts, L=self.layout, interpret=self.interpret,
+            constrained=constrained,
+        )
+
     def fold_scale(self, s):
         self.layout.fold_scale(s)

@@ -114,11 +114,19 @@ for rounds in ROUNDS:
     mg = AdaptiveMultigrid(space, fine_op=op)
     t_mg = time.perf_counter() - t0
     control = ReductionControl(400, tolerance=0.0, reduction=1e-10)
-    f = jax.jit(lambda b: solve_cg(op.vmult, b, control, diag=mg.vcycle))
-    x, info = f(b)
+    # closure_convert hoists the captured inexact-dtype tables — incl.
+    # the dense coarse inverse and every level's coefficient arrays —
+    # into ARGUMENTS: the axon tunnel's remote-compile request otherwise
+    # ships them as inline StableHLO constants and dies with HTTP 413
+    # ("length limit exceeded") at the rounds=4 hierarchy size
+    conv, consts = jax.closure_convert(
+        lambda bb: solve_cg(op.vmult, bb, control, diag=mg.vcycle), b
+    )
+    f = jax.jit(conv)
+    x, info = f(b, *consts)
     jax.block_until_ready(x)
     t0 = time.perf_counter()
-    x, info = f(b)
+    x, info = f(b, *consts)
     jax.block_until_ready(x)
     t64 = time.perf_counter() - t0
     res = float(jnp.linalg.norm(b - op.vmult(x)) / jnp.linalg.norm(b))
@@ -129,20 +137,24 @@ for rounds in ROUNDS:
     )
 
     # mixed-precision IR (f32 MG inner, f64 residuals) to the same truth
-    t0 = time.perf_counter()
-    s32 = AdaptiveSpace(mesh, 2, dtype=jnp.float32)
-    op32 = AdaptivePoissonOperator(s32)
-    mg32 = AdaptiveMultigrid(s32, fine_op=op32)
-    t_mg32 = time.perf_counter() - t0
-    x, ir = solve_cg_ir(op32, op, b, rtol=1e-10, diag32=mg32.vcycle)
-    jax.block_until_ready(x)
-    t0 = time.perf_counter()
-    x, ir = solve_cg_ir(op32, op, b, rtol=1e-10, diag32=mg32.vcycle)
-    jax.block_until_ready(x)
-    t_ir = time.perf_counter() - t0
-    print(
-        f"  f32 MG-IR : setup {t_mg32:.1f} s, warm solve {t_ir:.2f} s, "
-        f"{int(ir['n_outer'])} outer / {int(ir['n_inner'])} inner, "
-        f"true rel res {float(ir['res_rel']):.2e}",
-        flush=True,
-    )
+    try:
+        t0 = time.perf_counter()
+        s32 = AdaptiveSpace(mesh, 2, dtype=jnp.float32)
+        op32 = AdaptivePoissonOperator(s32)
+        mg32 = AdaptiveMultigrid(s32, fine_op=op32)
+        t_mg32 = time.perf_counter() - t0
+        x, ir = solve_cg_ir(op32, op, b, rtol=1e-10, diag32=mg32.vcycle)
+        jax.block_until_ready(x)
+        t0 = time.perf_counter()
+        x, ir = solve_cg_ir(op32, op, b, rtol=1e-10, diag32=mg32.vcycle)
+        jax.block_until_ready(x)
+        t_ir = time.perf_counter() - t0
+        print(
+            f"  f32 MG-IR : setup {t_mg32:.1f} s, warm solve {t_ir:.2f} s, "
+            f"{int(ir['n_outer'])} outer / {int(ir['n_inner'])} inner, "
+            f"true rel res {float(ir['res_rel']):.2e}",
+            flush=True,
+        )
+    except Exception as e:
+        print(f"  f32 MG-IR : FAILED {type(e).__name__}: {str(e)[:160]}",
+              flush=True)

@@ -91,16 +91,24 @@ def run(tag, mesh, p, q, grad, val, coef_sd=None, precision="highest",
     v0 = jax.block_until_ready(op(up))
     op.fold_scale(1.0 / max(float(jnp.linalg.norm(v0)), 1.0))
 
+    # thread the streamed tables as ARGUMENTS (op.tables/apply_tables):
+    # a jit that closes over `op` embeds the coefficient arrays as
+    # inline constants (286 MB of f32 full6 planes at mapped-Q3 size)
+    # and busts the axon tunnel's remote-compile limit (HTTP 413)
+    tabs = op.tables()
+
     @jax.jit
-    def chain(x):
-        r = jax.lax.fori_loop(0, N_AP, lambda i, v: op(v), x)
+    def chain(x, tabs):
+        r = jax.lax.fori_loop(
+            0, N_AP, lambda i, v: op.apply_tables(v, tabs), x
+        )
         return jnp.sum(r)
 
-    float(chain(up))
+    float(chain(up, tabs))
     best = np.inf
     for _ in range(3):
         t0 = time.perf_counter()
-        float(chain(up))
+        float(chain(up, tabs))
         best = min(best, (time.perf_counter() - t0) / N_AP)
     print(
         f"{tag}: n={n} p={p} q={q} EZ={L.EZ} prec={precision} "
