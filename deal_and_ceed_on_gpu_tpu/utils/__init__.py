@@ -1,4 +1,5 @@
 from . import checkpoint, native, oracle, profiling, vtk
+from .hoist import jit_hoisted
 from .logging import pcout0, rank0_print
 from .timer import Timer
 
@@ -13,6 +14,7 @@ __all__ = [
     "Timer",
     "ensure_x64",
     "enable_compilation_cache",
+    "jit_hoisted",
 ]
 
 

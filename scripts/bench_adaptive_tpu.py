@@ -30,7 +30,10 @@ from deal_and_ceed_on_gpu_tpu.solvers import (
     solve_cg,
     solve_cg_ir,
 )
-from deal_and_ceed_on_gpu_tpu.utils import enable_compilation_cache
+from deal_and_ceed_on_gpu_tpu.utils import (
+    enable_compilation_cache,
+    jit_hoisted,
+)
 
 jax.config.update("jax_enable_x64", True)
 enable_compilation_cache()
@@ -114,19 +117,18 @@ for rounds in ROUNDS:
     mg = AdaptiveMultigrid(space, fine_op=op)
     t_mg = time.perf_counter() - t0
     control = ReductionControl(400, tolerance=0.0, reduction=1e-10)
-    # closure_convert hoists the captured inexact-dtype tables — incl.
-    # the dense coarse inverse and every level's coefficient arrays —
-    # into ARGUMENTS: the axon tunnel's remote-compile request otherwise
-    # ships them as inline StableHLO constants and dies with HTTP 413
-    # ("length limit exceeded") at the rounds=4 hierarchy size
-    conv, consts = jax.closure_convert(
+    # jit_hoisted turns EVERY captured table — per-level int32 index
+    # maps, coefficient arrays, the dense coarse inverse (~300 MB at
+    # rounds=4) — into jit ARGUMENTS: captured as inline constants they
+    # bust the axon tunnel's remote-compile body limit (HTTP 413).
+    # jax.closure_convert is not enough (it hoists inexact dtypes only).
+    f = jit_hoisted(
         lambda bb: solve_cg(op.vmult, bb, control, diag=mg.vcycle), b
     )
-    f = jax.jit(conv)
-    x, info = f(b, *consts)
+    x, info = f(b)
     jax.block_until_ready(x)
     t0 = time.perf_counter()
-    x, info = f(b, *consts)
+    x, info = f(b)
     jax.block_until_ready(x)
     t64 = time.perf_counter() - t0
     res = float(jnp.linalg.norm(b - op.vmult(x)) / jnp.linalg.norm(b))
